@@ -1,0 +1,123 @@
+"""Jittable gaussian heatmap utilities for center-based heads.
+
+TPU-first redesign of the reference's per-object python loop
+(draw_heatmap_gaussian, /root/reference/mmdet3d/core/utils/gaussian.py:25;
+used by the GGA head's get_targets_single,
+/root/reference/mmdet3d/models/dense_heads/centerpoint_head_gga.py:576):
+instead of drawing one gaussian patch at a time on the host, all objects of
+a batch render densely on device as a max-reduction over object chunks —
+static shapes, fully vectorized, differentiable-free target generation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_radius(det_size, min_overlap=0.5):
+    """Radius such that a shifted box keeps >= min_overlap IoU.
+
+    Vectorized version of core/utils/gaussian.py:57. ``det_size`` is
+    (height, width) in feature-map cells; broadcasts elementwise.
+
+    Returns:
+        min(r1, r2, r3) per element.
+    """
+    height, width = det_size
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * c1, 0.0))
+    r1 = (b1 + sq1) / 2
+
+    # NOTE: the /2 (instead of /2a) on r2 and r3 reproduces the reference
+    # (and CenterNet's) historical quadratic-formula quirk — kept for parity.
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = jnp.sqrt(jnp.maximum(b2 ** 2 - 4 * 4 * c2, 0.0))
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3, 0.0))
+    r3 = (b3 + sq3) / 2
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+def render_heatmap(centers_int, radii, valid, hw, chunk=32):
+    """Render a max-combined gaussian heatmap for one class.
+
+    Dense-equivalent of repeated draw_heatmap_gaussian calls: each object
+    contributes ``exp(-(d2) / (2 sigma^2))`` inside its square radius window
+    (sigma = (2r + 1) / 6, as gaussian_2d), combined by max.
+
+    Args:
+        centers_int: [K, 2] integer (x, y) feature-map centers.
+        radii: [K] integer radii (>= min_radius already applied).
+        valid: [K] bool mask of real objects.
+        hw: static (H, W) of the heatmap.
+        chunk: objects rendered per scan step (bounds peak memory at
+            chunk * H * W).
+
+    Returns:
+        [H, W] float32 heatmap in [0, 1].
+    """
+    H, W = hw
+    K = centers_int.shape[0]
+    pad = (-K) % chunk
+    cx = jnp.pad(centers_int[:, 0], (0, pad)).reshape(-1, chunk)
+    cy = jnp.pad(centers_int[:, 1], (0, pad)).reshape(-1, chunk)
+    rr = jnp.pad(radii, (0, pad)).reshape(-1, chunk)
+    vv = jnp.pad(valid, (0, pad)).reshape(-1, chunk)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def step(carry, args):
+        ccx, ccy, crr, cvv = args
+        dx = xs[None] - ccx[:, None, None]
+        dy = ys[None] - ccy[:, None, None]
+        sigma = (2.0 * crr[:, None, None].astype(jnp.float32) + 1.0) / 6.0
+        g = jnp.exp(-(dx.astype(jnp.float32) ** 2
+                      + dy.astype(jnp.float32) ** 2)
+                    / (2.0 * sigma ** 2 + 1e-12))
+        inside = ((jnp.abs(dx) <= crr[:, None, None])
+                  & (jnp.abs(dy) <= crr[:, None, None])
+                  & cvv[:, None, None])
+        g = jnp.where(inside, g, 0.0)
+        return jnp.maximum(carry, g.max(axis=0)), None
+
+    init = jnp.zeros((H, W), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (cx, cy, rr, vv))
+    return out
+
+
+def render_class_heatmaps(centers_int, radii, cls_ids, valid, num_classes,
+                          hw, chunk=32):
+    """[num_classes, H, W] heatmap; object k renders onto cls_ids[k]."""
+    maps = []
+    for c in range(num_classes):
+        maps.append(render_heatmap(
+            centers_int, radii, valid & (cls_ids == c), hw, chunk=chunk))
+    return jnp.stack(maps)
+
+
+def gaussian_focal_loss(pred, gaussian_target, alpha=2.0, gamma=4.0):
+    """Per-element GaussianFocalLoss (mmdet gaussian_focal_loss):
+    pos: -log(p) (1-p)^alpha at target==1; neg: -log(1-p) p^alpha (1-t)^gamma.
+
+    The GGA config uses alpha=0.0 (gga_kitti_config.py:60), i.e. plain
+    log-loss on positives.
+    """
+    eps = 1e-12
+    pos_weights = (gaussian_target == 1.0).astype(pred.dtype)
+    neg_weights = jnp.power(1 - gaussian_target, gamma)
+    pos_loss = -jnp.log(pred + eps) * jnp.power(1 - pred, alpha) * pos_weights
+    neg_loss = -jnp.log(1 - pred + eps) * jnp.power(pred, alpha) * (
+        1 - pos_weights) * neg_weights
+    return pos_loss + neg_loss
+
+
+def clip_sigmoid(x, eps=1e-4):
+    """Sigmoid clamped to (eps, 1-eps) (mmdet3d.models.utils.clip_sigmoid)."""
+    return jnp.clip(jax.nn.sigmoid(x), eps, 1 - eps)

@@ -1,0 +1,137 @@
+"""Jittable voxelization — TPU-native replacement for mmcv's CUDA
+``Voxelization`` op (consumed at
+/root/reference/mmdet3d/models/detectors/mvx_two_stage_gga.py:43,213).
+
+Design (static shapes, sort-based, no atomics):
+
+1. Each point maps to an integer voxel coordinate; out-of-range points get
+   an invalid id that sorts last.
+2. Points are sorted by voxel id. Segment starts mark unique voxels; a
+   cumulative sum assigns each point a *voxel slot* and a *rank within its
+   voxel*.
+3. Points with slot < max_voxels and rank < max_points scatter into the
+   padded [max_voxels, max_points, C] buffer.
+
+This reproduces hard voxelization semantics (cap on voxels and on points
+per voxel) deterministically (ties broken by point order, like the CUDA op's
+first-come-first-served within a voxel after its sort) with O(P log P) work
+that XLA maps onto the TPU's sort and scatter units.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def point_voxel_coords(points, voxel_size, pc_range):
+    """Integer voxel coords (ix, iy, iz) and in-range mask for points.
+
+    Args:
+        points: [P, C>=3]; may contain padding rows (see ``valid``).
+        voxel_size: (3,) static tuple.
+        pc_range: (6,) static tuple (x0, y0, z0, x1, y1, z1).
+
+    Returns:
+        coords [P, 3] int32 (x, y, z order), in_range [P] bool.
+    """
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    lo = jnp.asarray(pc_range[:3], jnp.float32)
+    hi = jnp.asarray(pc_range[3:], jnp.float32)
+    grid = jnp.round((hi - lo) / vs).astype(jnp.int32)
+    rel = (points[:, :3] - lo) / vs
+    coords = jnp.floor(rel).astype(jnp.int32)
+    in_range = jnp.all((coords >= 0) & (coords < grid), axis=-1)
+    return coords, in_range
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('voxel_size', 'pc_range', 'max_points', 'max_voxels'))
+def hard_voxelize(points, valid, *, voxel_size, pc_range, max_points=5,
+                  max_voxels=16000):
+    """Hard voxelization with static output shapes.
+
+    Args:
+        points: [P, C] float32 (xyz + features); padded rows allowed.
+        valid: [P] bool mask of real points.
+        voxel_size / pc_range: static tuples.
+        max_points: per-voxel point cap (reference config: 5).
+        max_voxels: voxel cap (reference config: 16000 train / 40000 test).
+
+    Returns dict:
+        voxels:     [max_voxels, max_points, C] features, zero padded.
+        coords:     [max_voxels, 3] int32 (z, y, x) — reference layout for
+                    the scatter/middle encoders; -1 padded.
+        num_points: [max_voxels] int32 points per voxel.
+        num_voxels: [] int32 count of real voxels.
+    """
+    P, C = points.shape
+    coords, in_range = point_voxel_coords(points, voxel_size, pc_range)
+    ok = in_range & valid
+
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    lo = jnp.asarray(pc_range[:3], jnp.float32)
+    hi = jnp.asarray(pc_range[3:], jnp.float32)
+    grid = jnp.round((hi - lo) / vs).astype(jnp.int64)
+    gx, gy, gz = grid[0], grid[1], grid[2]
+
+    # linear id; invalid points get the max id so they sort to the end
+    lin = (coords[:, 2].astype(jnp.int64) * gy * gx
+           + coords[:, 1].astype(jnp.int64) * gx
+           + coords[:, 0].astype(jnp.int64))
+    big = gx * gy * gz
+    lin = jnp.where(ok, lin, big)
+
+    order = jnp.argsort(lin)
+    lin_s = lin[order]
+    pts_s = points[order]
+    coords_s = coords[order]
+    ok_s = ok[order]
+
+    # new-voxel flags over the sorted ids
+    prev = jnp.concatenate([jnp.full((1,), -1, lin_s.dtype), lin_s[:-1]])
+    newv = (lin_s != prev) & ok_s
+    slot = jnp.cumsum(newv.astype(jnp.int32)) - 1          # voxel slot/point
+    slot = jnp.where(ok_s, slot, max_voxels)                # park invalid
+    # rank of each point within its voxel
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    seg_start = jnp.where(newv, pidx, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank = pidx - seg_start
+
+    keep = ok_s & (slot < max_voxels) & (rank < max_points)
+    vslot = jnp.where(keep, slot, max_voxels)
+    prank = jnp.where(keep, rank, 0)
+
+    voxels = jnp.zeros((max_voxels + 1, max_points, C), points.dtype)
+    voxels = voxels.at[vslot, prank].set(
+        jnp.where(keep[:, None], pts_s, 0.0))
+    num_points = jnp.zeros((max_voxels + 1,), jnp.int32).at[vslot].add(
+        keep.astype(jnp.int32))
+    out_coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
+    # store (z, y, x) to match the reference middle-encoder layout
+    out_coords = out_coords.at[vslot].set(coords_s[:, ::-1])
+
+    num_voxels = jnp.minimum(newv.sum(), max_voxels)
+    return dict(
+        voxels=voxels[:max_voxels],
+        coords=out_coords[:max_voxels],
+        num_points=num_points[:max_voxels],
+        num_voxels=num_voxels,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('voxel_size', 'pc_range'))
+def dynamic_voxelize(points, valid, *, voxel_size, pc_range):
+    """Dynamic voxelization: per-point voxel coords, no clustering.
+
+    Equivalent of mmcv's dynamic ``Voxelization`` (max_num_points=-1) used
+    by DynamicVFE (/root/reference/mmdet3d/models/voxel_encoders/
+    voxel_encoder.py:88): returns (z, y, x) coords with -1 for out-of-range
+    points; feature scattering happens in ``ops.scatter.dynamic_scatter``.
+    """
+    coords, in_range = point_voxel_coords(points, voxel_size, pc_range)
+    ok = in_range & valid
+    return jnp.where(ok[:, None], coords[:, ::-1], -1), ok
