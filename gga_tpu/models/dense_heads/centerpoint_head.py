@@ -1,0 +1,160 @@
+"""CenterPoint head: shared conv + per-task separate heads, plus a
+static-shape box decoder.
+
+Rebuild of the reference CenterHead / SeparateHead
+(/root/reference/mmdet3d/models/dense_heads/centerpoint_head.py:20) and
+CenterPointBBoxCoder
+(/root/reference/mmdet3d/core/bbox/coders/centerpoint_bbox_coders.py:9) in
+NHWC with fixed top-K outputs + validity masks instead of dynamic shapes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.nms import nms_bev
+from ..layers import ConvModule2d, conv_init
+
+
+class SeparateHead(nn.Module):
+    """Per-task branch heads (centerpoint_head.py:20): for each output key,
+    (num_conv - 1) ConvModule(k=final_kernel)+BN+ReLU then a final conv with
+    bias; heatmap final bias initialized to init_bias."""
+    heads: Dict[str, Tuple[int, int]]
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = {}
+        for name, (out_ch, num_conv) in self.heads.items():
+            y = x
+            for _ in range(num_conv - 1):
+                y = ConvModule2d(self.head_conv, self.final_kernel,
+                                 use_bias=True)(y, train)
+            bias_init = (nn.initializers.constant(self.init_bias)
+                         if name == 'heatmap' else nn.initializers.zeros)
+            y = nn.Conv(out_ch, (self.final_kernel, self.final_kernel),
+                        padding='SAME', use_bias=True,
+                        kernel_init=conv_init, bias_init=bias_init,
+                        name=f'{name}_out')(y)
+            out[name] = y
+        return out
+
+
+class CenterHead(nn.Module):
+    """CenterPoint head over NHWC BEV features.
+
+    tasks: tuple of per-task class counts, e.g. (1, 1, 1) for the GGA
+    Pedestrian/Cyclist/Car config (gga_kitti_config.py:39-43).
+    """
+    tasks: Sequence[int] = (1, 1, 1)
+    in_channels: int = 512
+    share_conv_channel: int = 64
+    common_heads: Dict[str, Tuple[int, int]] = None
+    num_heatmap_convs: int = 2
+    separate_head_final_kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: [B, H, W, C] -> list over tasks of dicts of NHWC maps."""
+        common = self.common_heads or dict(
+            reg=(2, 2), height=(1, 2), dim=(3, 2), rot=(2, 2))
+        x = ConvModule2d(self.share_conv_channel, 3, use_bias=True)(x, train)
+        outs = []
+        for t, num_cls in enumerate(self.tasks):
+            heads = dict(common)
+            heads['heatmap'] = (num_cls, self.num_heatmap_convs)
+            outs.append(
+                SeparateHead(
+                    heads=heads,
+                    final_kernel=self.separate_head_final_kernel,
+                    name=f'task{t}')(x, train))
+        return outs
+
+
+def decode_task(preds, *, voxel_size, pc_range, out_size_factor, max_num=100,
+                score_threshold=0.1, post_center_range=None):
+    """Static-shape CenterPointBBoxCoder.decode
+    (centerpoint_bbox_coders.py:117).
+
+    Args:
+        preds: task dict of NHWC maps (heatmap pre-sigmoid; dim pre-exp).
+
+    Returns dict:
+        boxes [B, K, 7] (x, y, z_gravity, dx, dy, dz, yaw), scores [B, K],
+        labels [B, K], valid [B, K].
+    """
+    heat = jax.nn.sigmoid(preds['heatmap'])       # [B, H, W, C]
+    B, H, W, C = heat.shape
+    flat = heat.reshape(B, H * W * C)
+    scores, inds = jax.lax.top_k(flat, max_num)   # over all cls+locations
+    labels = inds % C
+    loc = inds // C
+    ys = (loc // W).astype(jnp.float32)
+    xs = (loc % W).astype(jnp.float32)
+
+    def gather(m):
+        return jnp.take_along_axis(
+            m.reshape(B, H * W, -1), loc[..., None], axis=1)
+
+    reg = gather(preds['reg'])
+    xs = (xs + reg[..., 0]) * out_size_factor * voxel_size[0] + pc_range[0]
+    ys = (ys + reg[..., 1]) * out_size_factor * voxel_size[1] + pc_range[1]
+    hei = gather(preds['height'])[..., 0]
+    dim = jnp.exp(gather(preds['dim']))
+    rot = gather(preds['rot'])
+    yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
+
+    boxes = jnp.stack([xs, ys, hei, dim[..., 0], dim[..., 1], dim[..., 2],
+                       yaw], axis=-1)
+    valid = scores > score_threshold
+    if post_center_range is not None:
+        pcr = jnp.asarray(post_center_range, jnp.float32)
+        valid &= jnp.all(boxes[..., :3] >= pcr[:3], -1)
+        valid &= jnp.all(boxes[..., :3] <= pcr[3:], -1)
+    return dict(boxes=boxes, scores=scores, labels=labels, valid=valid)
+
+
+def get_task_detections(decoded, *, nms_thr=0.2, post_max_size=512):
+    """Rotated-BEV NMS per task (centerpoint_head_gga.py:819), static K.
+
+    Returns the decoded dict with ``valid`` refined by NMS and entries
+    reordered by score among kept (padding at the end).
+    """
+    def one(boxes, scores, labels, valid):
+        bev = boxes[:, [0, 1, 3, 4, 6]]
+        k = min(post_max_size, boxes.shape[0])
+        idx, keep = nms_bev(bev, scores, nms_thr, post_max_size=k,
+                            valid=valid)
+        safe = jnp.maximum(idx, 0)
+        return dict(
+            boxes=boxes[safe], scores=jnp.where(idx >= 0, scores[safe], 0.0),
+            labels=labels[safe], valid=idx >= 0)
+
+    return jax.vmap(one)(decoded['boxes'], decoded['scores'],
+                         decoded['labels'], decoded['valid'])
+
+
+def merge_task_detections(task_dets, task_num_classes):
+    """Concatenate per-task detections, offsetting labels and converting
+    gravity-center z to bottom-center (centerpoint_head_gga.py:806-812)."""
+    boxes, scores, labels, valid = [], [], [], []
+    flag = 0
+    for det, ncls in zip(task_dets, task_num_classes):
+        b = det['boxes']
+        b = b.at[..., 2].add(-b[..., 5] * 0.5)
+        boxes.append(b)
+        scores.append(det['scores'])
+        labels.append(det['labels'] + flag)
+        valid.append(det['valid'])
+        flag += ncls
+    return dict(
+        boxes=jnp.concatenate(boxes, axis=1),
+        scores=jnp.concatenate(scores, axis=1),
+        labels=jnp.concatenate(labels, axis=1),
+        valid=jnp.concatenate(valid, axis=1))

@@ -1,0 +1,318 @@
+"""GGA weak-supervision targets and losses for the CenterPoint head.
+
+Batched, jittable rebuild of CenterHead_GGA's target assignment and the
+three geometry losses
+(/root/reference/mmdet3d/models/dense_heads/centerpoint_head_gga.py):
+
+- heatmap targets centered on the *initial pseudo labels*
+  (get_targets_single:401, gaussians drawn at GGA centers :576);
+- Boundary-Projection Loss: predicted 3D corners projected through each
+  object's lidar2img, L1 of the resulting 2D extents against the 2D GT box,
+  masked per-edge where the GT box touches the image boundary
+  (get_prediction_single:250, loss:714-717);
+- Semantic-Ratio Loss: max/min of predicted BEV dims vs a per-task prior
+  ratio *sampled each step* from N(mean, std) (get_targets_single:514-525,
+  loss:704-712);
+- Point-to-Box-Alignment: BEV distances of the in-box point clusters to
+  the predicted box edges (get_distance_single:184, loss:692-699).
+
+Design difference vs the reference (documented, behavior-preserving):
+objects stay at their original padded slot [max_objs] with per-task
+membership *masks* instead of per-task compaction — every loss is a masked
+sum, so values match the reference's compacted python loops.
+
+NOTE a discovered reference quirk: mmdet's ``_parse_losses`` only sums dict
+entries whose key contains the substring 'loss', so the reference's PAL
+terms (keys 'taskN.distance{x,y,min}', loss:697-699) are *logged but never
+backpropagated*. ``pal_in_total_loss`` reproduces that default (False) and
+can be flipped on.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import geometry as geo
+from ...core.gaussian import (clip_sigmoid, gaussian_focal_loss,
+                              gaussian_radius, render_heatmap)
+
+
+@dataclasses.dataclass(frozen=True)
+class GGAHeadConfig:
+    """Static train-time config (gga_kitti_config.py:64-76)."""
+    voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.1)
+    point_cloud_range: Tuple[float, ...] = (0, -40, -3, 70.4, 40, 1)
+    grid_size: Tuple[int, int, int] = (1408, 1600, 40)   # (nx, ny, nz)
+    out_size_factor: int = 8
+    max_objs: int = 500
+    dense_reg: int = 1
+    gaussian_overlap: float = 0.1
+    min_radius: int = 2
+    code_weights: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5, 0.5)
+    # tasks: global label ranges; task t covers labels in
+    # [task_offsets[t], task_offsets[t+1])
+    task_num_classes: Tuple[int, ...] = (1, 1, 1)
+    # per-task (mean, std) dim-ratio priors: Ped, Cyc, Car
+    # (centerpoint_head_gga.py:514-525)
+    srl_priors: Tuple[Tuple[float, float], ...] = (
+        (1.35, 0.48), (3.60, 0.68), (2.40, 0.28))
+    loss_heatmap_weight: float = 5.0
+    loss_bpl_weight: float = 0.3
+    loss_srl_weight: float = 0.1
+    loss_pal_weight: float = 0.1
+    l1_loss_weight: float = 0.25   # mmdet L1Loss loss_weight (config :60)
+    focal_alpha: float = 0.0       # GaussianFocalLoss alpha (config :60)
+    focal_gamma: float = 4.0
+    pal_in_total_loss: bool = False  # reference quirk, see module docstring
+
+    @property
+    def feature_map_size(self):
+        return (self.grid_size[0] // self.out_size_factor,
+                self.grid_size[1] // self.out_size_factor)  # (W, H)
+
+    @property
+    def task_offsets(self):
+        offs = [0]
+        for n in self.task_num_classes:
+            offs.append(offs[-1] + n)
+        return tuple(offs)
+
+
+def build_targets(cfg: GGAHeadConfig, rng, labels, valid,
+                  init_pseudo, boxes_img, bdry_masks, lidar2img):
+    """Build per-task training targets for a batch.
+
+    Args:
+        rng: PRNG key (per-step SRL prior sampling).
+        labels: [B, M] int32 global class ids (-1 for padding).
+        valid: [B, M] bool — object usable for supervision
+            (GGA_mask_valid & mask2d & range filters, applied upstream).
+        init_pseudo: [B, M, 7] initial pseudo boxes (lidar frame).
+        boxes_img: [B, M, 4] 2D GT boxes (x1, y1, x2, y2).
+        bdry_masks: [B, M, 4] bool, True where that 2D edge sits on the
+            image boundary.
+        lidar2img: [B, M, 4, 4] per-object projection.
+
+    Returns list over tasks of dicts:
+        heatmap [B, H, W, C_t], anno_box [B, M, 5], ind [B, M],
+        mask [B, M] bool, boundary_mask [B, M, 4] f32, lidar2img.
+    """
+    B, M = labels.shape
+    W, H = cfg.feature_map_size
+    vx, vy = cfg.voxel_size[0], cfg.voxel_size[1]
+    x0, y0 = cfg.point_cloud_range[0], cfg.point_cloud_range[1]
+    f = cfg.out_size_factor
+
+    gw = init_pseudo[..., 3] / vx / f
+    gl = init_pseudo[..., 4] / vy / f
+    radius = gaussian_radius((gl, gw), cfg.gaussian_overlap)
+    radius = jnp.maximum(cfg.min_radius,
+                         radius.astype(jnp.int32))  # int() truncation
+    size_ok = (gw > 0) & (gl > 0)
+
+    cx = (init_pseudo[..., 0] - x0) / vx / f
+    cy = (init_pseudo[..., 1] - y0) / vy / f
+    cxi = cx.astype(jnp.int32)
+    cyi = cy.astype(jnp.int32)
+    in_map = (cxi >= 0) & (cxi < W) & (cyi >= 0) & (cyi < H)
+    ind = jnp.clip(cyi, 0, H - 1) * W + jnp.clip(cxi, 0, W - 1)
+
+    targets = []
+    offs = cfg.task_offsets
+    rngs = jax.random.split(rng, len(cfg.task_num_classes))
+    for t, ncls in enumerate(cfg.task_num_classes):
+        tmask = (labels >= offs[t]) & (labels < offs[t + 1])
+        mask = tmask & valid & size_ok & in_map
+        cls_in_task = jnp.clip(labels - offs[t], 0, ncls - 1)
+
+        centers = jnp.stack([jnp.clip(cxi, 0, W - 1),
+                             jnp.clip(cyi, 0, H - 1)], -1)
+        hms = []
+        for c in range(ncls):
+            hms.append(jax.vmap(
+                lambda cc, rr, mm: render_heatmap(cc, rr, mm, (H, W))
+            )(centers, radius, mask & (cls_in_task == c)))
+        heatmap = jnp.stack(hms, axis=-1)  # [B, H, W, C_t]
+
+        # SRL prior: one sample per (batch element, task) per step, clamped
+        mean, std = cfg.srl_priors[t]
+        srl = jnp.maximum(
+            mean + std * jax.random.normal(rngs[t], (B,)), 1e-3)
+        anno_box = jnp.concatenate(
+            [boxes_img, jnp.broadcast_to(srl[:, None, None], (B, M, 1))],
+            axis=-1)
+
+        targets.append(dict(
+            heatmap=heatmap,
+            anno_box=anno_box,
+            ind=ind,
+            mask=mask,
+            boundary_mask=(~bdry_masks).astype(jnp.float32),
+            lidar2img=lidar2img,
+        ))
+    return targets
+
+
+def _gather_preds(task_preds, ind):
+    """Gather the 8 regression channels at target indices.
+
+    Returns [B, M, 8]: (reg_x, reg_y, height, dim_x, dim_y, dim_z,
+    rot_sin, rot_cos) — the reference's anno_box channel order
+    (centerpoint_head_gga.py:667-673).
+    """
+    maps = jnp.concatenate(
+        [task_preds['reg'], task_preds['height'], task_preds['dim'],
+         task_preds['rot']], axis=-1)
+    B, H, W, C = maps.shape
+    return jnp.take_along_axis(
+        maps.reshape(B, H * W, C), ind[..., None], axis=1)
+
+
+def _predict_geometry(cfg: GGAHeadConfig, pred, ind, lidar2img):
+    """pred [B, M, 8] -> (pred_ratio [B, M, 2], pred_iou [B, M, 4],
+    pred_box_bev [B, M, 5]); mirrors get_prediction_single
+    (centerpoint_head_gga.py:250-343)."""
+    W, _ = cfg.feature_map_size
+    vx, vy = cfg.voxel_size[0], cfg.voxel_size[1]
+    x0, y0 = cfg.point_cloud_range[0], cfg.point_cloud_range[1]
+    f = cfg.out_size_factor
+
+    # guarded atan2: at (0, 0) (e.g. zero feature maps / masked objects)
+    # atan2's gradient is NaN and would poison the whole step through the
+    # masked loss (0 * NaN = NaN); substitute (0, 1) there.
+    s_, c_ = pred[..., 6], pred[..., 7]
+    degen = (jnp.abs(s_) + jnp.abs(c_)) < 1e-8
+    rot = jnp.arctan2(jnp.where(degen, 0.0, s_), jnp.where(degen, 1.0, c_))
+    x = ((ind % W).astype(jnp.float32) + pred[..., 0]) * vx * f + x0
+    y = ((ind // W).astype(jnp.float32) + pred[..., 1]) * vy * f + y0
+    z = pred[..., 2]
+    dims = jnp.exp(pred[..., 3:6])
+
+    bottom = jnp.stack([x, y, z - dims[..., 2] * 0.5], axis=-1)
+    corners = geo.corners_3d(
+        bottom.reshape(-1, 3), dims.reshape(-1, 3), rot.reshape(-1))
+    hom = jnp.concatenate([corners, jnp.ones_like(corners[..., :1])], -1)
+    cam = jnp.einsum('nij,nkj->nki', lidar2img.reshape(-1, 4, 4), hom,
+                     precision=jax.lax.Precision.HIGHEST)
+    # reference clamps depth at 0.1 and keeps ALL corners (including
+    # behind-camera ones — corner_valid at :329 is computed but unused)
+    pix = cam[..., :2] / jnp.maximum(cam[..., 2:3], 0.1)
+    B, M = pred.shape[:2]
+    pix = pix.reshape(B, M, 8, 2)
+    # (xmin, ymin, xmax, ymax)
+    pred_iou = jnp.concatenate([pix.min(axis=2), pix.max(axis=2)], axis=-1)
+
+    pred_ratio = dims[..., :2]
+    pred_box_bev = jnp.concatenate(
+        [jnp.stack([x, y], -1), dims[..., :2], rot[..., None]], axis=-1)
+    return pred_ratio, pred_iou, pred_box_bev
+
+
+def _pal_distances(pred_box_bev, ibp_xy, ibp_valid):
+    """Point-to-box BEV distances (get_distance_single:184-248), batched.
+
+    Args:
+        pred_box_bev: [B, M, 5] (x, y, w, h, rot).
+        ibp_xy: [B, M, P, 2] in-box cluster points (lidar xy).
+        ibp_valid: [B, M, P] bool.
+
+    Returns (min_dis, x_dis, y_dis): each [B, M].
+    """
+    rot = pred_box_bev[..., 4]
+    c, s = jnp.cos(rot), jnp.sin(rot)
+    # clockwise rotation (reference rotates points & center clockwise)
+    px = ibp_xy[..., 0] * c[..., None] + ibp_xy[..., 1] * s[..., None]
+    py = -ibp_xy[..., 0] * s[..., None] + ibp_xy[..., 1] * c[..., None]
+    cx = pred_box_bev[..., 0] * c + pred_box_bev[..., 1] * s
+    cy = -pred_box_bev[..., 0] * s + pred_box_bev[..., 1] * c
+    half_l = pred_box_bev[..., 2] / 2.0
+    half_h = pred_box_bev[..., 3] / 2.0
+
+    dx1 = jnp.abs(px - (cx - half_l)[..., None])
+    dx2 = jnp.abs(px - (cx + half_l)[..., None])
+    dy1 = jnp.abs(py - (cy - half_h)[..., None])
+    dy2 = jnp.abs(py - (cy + half_h)[..., None])
+    all_dis = jnp.minimum(jnp.minimum(dx1, dx2), jnp.minimum(dy1, dy2))
+
+    p2c_x = jnp.abs(px - cx[..., None])
+    p2c_y = jnp.abs(py - cy[..., None])
+    dx = jax.nn.relu(p2c_x - 2 * half_l[..., None])
+    dy = jax.nn.relu(p2c_y - 2 * half_h[..., None])
+
+    m = ibp_valid.astype(all_dis.dtype)
+    return ((all_dis * m).sum(-1), (dx * m).sum(-1), (dy * m).sum(-1))
+
+
+def _l1(pred, target, weight, avg_factor, loss_weight):
+    return (jnp.abs(pred - target) * weight).sum() / avg_factor * loss_weight
+
+
+def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
+    """Full GGA loss (centerpoint_head_gga.py:629-723).
+
+    Args:
+        preds: list over tasks of NHWC map dicts (head output).
+        targets: output of ``build_targets``.
+        ibp_xy / ibp_valid: [B, M, P, 2] clusters + [B, M, P] masks
+            (shared across tasks; per-task selection via target masks).
+
+    Returns:
+        (total_loss, dict of logged scalars).
+    """
+    cw = jnp.asarray(cfg.code_weights, jnp.float32)
+    logs = {}
+    total = 0.0
+    for t, (tp, tt) in enumerate(zip(preds, targets)):
+        hm_pred = clip_sigmoid(tp['heatmap'])
+        num_pos = (tt['heatmap'] == 1.0).sum()
+        loss_hm = gaussian_focal_loss(
+            hm_pred, tt['heatmap'], cfg.focal_alpha, cfg.focal_gamma
+        ).sum() / jnp.maximum(num_pos, 1)
+
+        pred = _gather_preds(tp, tt['ind'])
+        pred_ratio, pred_iou, pred_box_bev = _predict_geometry(
+            cfg, pred, tt['ind'], tt['lidar2img'])
+
+        maskf = tt['mask'].astype(jnp.float32)
+        num = maskf.sum()
+        avg = num + 1e-4
+        bbox_w = maskf[..., None] * jnp.isfinite(
+            tt['anno_box']).astype(jnp.float32) * cw
+
+        # PAL (logged; excluded from total by default — reference quirk)
+        p2c_min, p2c_x, p2c_y = _pal_distances(
+            pred_box_bev, ibp_xy, ibp_valid)
+        w_pal = bbox_w[..., 0]
+        loss_pal = _l1(p2c_min, 0.0, w_pal, avg, cfg.l1_loss_weight)
+        loss_palx = _l1(p2c_x, 0.0, w_pal, avg, cfg.l1_loss_weight)
+        loss_paly = _l1(p2c_y, 0.0, w_pal, avg, cfg.l1_loss_weight)
+
+        # SRL
+        ratio_w = pred_ratio.min(axis=-1)
+        ratio_l = pred_ratio.max(axis=-1)
+        srl = ratio_l - ratio_w * tt['anno_box'][..., 4]
+        loss_srl = _l1(srl, 0.0, bbox_w[..., 4], avg, cfg.l1_loss_weight)
+
+        # BPL
+        w_bpl = bbox_w[..., :4] * tt['boundary_mask']
+        loss_bpl = _l1(pred_iou, tt['anno_box'][..., :4], w_bpl, avg,
+                       cfg.l1_loss_weight)
+
+        logs[f'task{t}.loss_heatmap'] = loss_hm * cfg.loss_heatmap_weight
+        logs[f'task{t}.loss_bbox'] = loss_bpl * cfg.loss_bpl_weight
+        logs[f'task{t}.loss_ratio'] = loss_srl * cfg.loss_srl_weight
+        logs[f'task{t}.distancemin'] = loss_pal * cfg.loss_pal_weight
+        logs[f'task{t}.distancex'] = loss_palx * cfg.loss_pal_weight
+        logs[f'task{t}.distancey'] = loss_paly * cfg.loss_pal_weight
+
+        total = (total + logs[f'task{t}.loss_heatmap']
+                 + logs[f'task{t}.loss_bbox'] + logs[f'task{t}.loss_ratio'])
+        if cfg.pal_in_total_loss:
+            total = (total + logs[f'task{t}.distancemin']
+                     + logs[f'task{t}.distancex']
+                     + logs[f'task{t}.distancey'])
+    logs['loss'] = total
+    return total, logs

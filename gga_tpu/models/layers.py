@@ -1,0 +1,203 @@
+"""Shared flax building blocks: masked batch norm for sparse voxel features
+and sparse conv modules wrapping ``gga_tpu.ops.sparse``.
+
+Equivalents of mmcv's ConvModule / spconv SparseSequential layers used by
+the reference (sparse_block.py, sparse_encoder.py) — rebuilt as flax modules
+with batch handled by vmap over per-sample SparseTensors.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sparse as sp
+
+# torch Conv default: kaiming_uniform(a=sqrt(5)) == variance_scaling(1/3,
+# fan_in, uniform). Used for all conv weights for reference-like scales.
+conv_init = nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform')
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over active voxels only.
+
+    The reference normalizes sparse features with BN1d(eps=1e-3,
+    momentum=0.01) across all active voxels of the batch
+    (sparse_encoder.py:48); here padding rows are excluded via the mask
+    and running stats live in the 'batch_stats' collection.
+    """
+    eps: float = 1e-3
+    momentum: float = 0.01  # torch semantics: new = (1-m)*old + m*batch
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        """x: [..., C]; valid: [...] bool."""
+        c = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+
+        if train:
+            m = valid[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(m.sum(), 1.0)
+            mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            var = (((x - mean) ** 2) * m).sum(
+                axis=tuple(range(x.ndim - 1))) / cnt
+            if not self.is_initializing():
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                # unbiased running var, torch-style
+                ub = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * ub)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(valid[..., None], y, 0.0)
+
+
+class BatchNorm2d(nn.Module):
+    """Dense BN for NHWC feature maps (reference BN eps=1e-3,
+    momentum=0.01, e.g. SECOND backbone at gga_kitti_config.py:26)."""
+    eps: float = 1e-3
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=x.dtype,
+        )(x)
+
+
+class SubMConv3d(nn.Module):
+    """Submanifold sparse conv over batched sparse tensors."""
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid):
+        """feats [B, N, C]; coords [B, N, 3]; valid [B, N]."""
+        k3 = self.kernel_size ** 3
+        w = self.param('kernel', conv_init,
+                       (k3, feats.shape[-1], self.out_channels))
+        b = (self.param('bias', nn.initializers.zeros, (self.out_channels,))
+             if self.use_bias else None)
+
+        def one(f, c, v):
+            st = sp.SparseTensor(features=f, coords=c, valid=v,
+                                 grid=tuple(grid))
+            return sp.subm_conv(st, w, b).features
+
+        return jax.vmap(one)(feats, coords, valid)
+
+
+class SparseConv3d(nn.Module):
+    """Strided sparse conv (downsampling); returns new coords/valid/grid."""
+    out_channels: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (2, 2, 2)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    out_budget: int = 16000
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid):
+        K = int(np.prod(self.kernel_size))
+        w = self.param('kernel', conv_init,
+                       (K, feats.shape[-1], self.out_channels))
+        b = (self.param('bias', nn.initializers.zeros, (self.out_channels,))
+             if self.use_bias else None)
+
+        def one(f, c, v):
+            st = sp.SparseTensor(features=f, coords=c, valid=v,
+                                 grid=tuple(grid))
+            out = sp.sparse_conv(st, w, self.kernel_size, self.stride,
+                                 self.padding, self.out_budget, b)
+            return out.features, out.coords, out.valid
+
+        of, oc, ov = jax.vmap(one)(feats, coords, valid)
+        st0 = sp.SparseTensor(features=feats[0], coords=coords[0],
+                              valid=valid[0], grid=tuple(grid))
+        _, _, out_grid = sp.downsample_coords(
+            st0, self.kernel_size, self.stride, self.padding, 1)
+        return of, oc, ov, out_grid
+
+
+class SparseConvBlock(nn.Module):
+    """conv (+ norm + relu) — sparse equivalent of make_sparse_convmodule
+    with order ('conv', 'norm', 'act')."""
+    out_channels: int
+    conv_type: str = 'subm'  # 'subm' | 'spconv'
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    out_budget: int = 16000
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid, train: bool):
+        if self.conv_type == 'subm':
+            x = SubMConv3d(self.out_channels,
+                           kernel_size=self.kernel_size[0])(
+                               feats, coords, valid, grid)
+            out_coords, out_valid, out_grid = coords, valid, grid
+        else:
+            x, out_coords, out_valid, out_grid = SparseConv3d(
+                self.out_channels, self.kernel_size, self.stride,
+                self.padding, self.out_budget)(feats, coords, valid, grid)
+        x = MaskedBatchNorm()(x, out_valid, train)
+        x = nn.relu(x)
+        return x, out_coords, out_valid, out_grid
+
+
+class SparseBasicBlock(nn.Module):
+    """ResNet BasicBlock on sparse tensors
+    (/root/reference/mmdet3d/ops/sparse_block.py:23): two SubM convs with
+    BN; residual add; ReLU after each (second after the add)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, grid, train: bool):
+        identity = feats
+        x = SubMConv3d(self.channels)(feats, coords, valid, grid)
+        x = MaskedBatchNorm()(x, valid, train)
+        x = nn.relu(x)
+        x = SubMConv3d(self.channels)(x, coords, valid, grid)
+        x = MaskedBatchNorm()(x, valid, train)
+        x = nn.relu(x + identity)
+        return x
+
+
+class ConvModule2d(nn.Module):
+    """Conv2d + BN + ReLU on NHWC maps (mmcv ConvModule equivalent)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    use_norm: bool = True
+    use_act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.out_channels,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding='SAME' if self.stride == 1 else
+                    [(self.kernel_size // 2,) * 2] * 2,
+                    use_bias=self.use_bias,
+                    kernel_init=conv_init)(x)
+        if self.use_norm:
+            x = BatchNorm2d()(x, train)
+        if self.use_act:
+            x = nn.relu(x)
+        return x

@@ -1,0 +1,105 @@
+"""Middle encoders: sparse 3D encoder and pillar scatter.
+
+TPU rebuilds of /root/reference/mmdet3d/models/middle_encoders/:
+- SparseEncoder (sparse_encoder.py:19) on the gather-GEMM-scatter sparse
+  engine; emits a dense NHWC BEV map.
+- PointPillarsScatter (pillar_scatter.py:10) as a single XLA scatter.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.scatter import pillar_scatter
+from .layers import SparseBasicBlock, SparseConvBlock
+
+
+class SparseEncoder(nn.Module):
+    """SECOND's sparse middle encoder (basicblock variant of the GGA config,
+    gga_kitti_config.py:11-19).
+
+    Structure: SubM(in->16) then 4 stages; stages 1..3 end with a stride-2
+    SparseConv3d; stage 4 keeps resolution; conv_out is SparseConv3d
+    k=(3,1,1) s=(2,1,1). Output densified to [B, H, W, C*D] (NHWC).
+    """
+    in_channels: int = 4
+    sparse_shape: Tuple[int, int, int] = (41, 1600, 1408)
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    encoder_paddings: Sequence[Sequence] = (
+        (0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0))
+    block_type: str = 'basicblock'
+    # static active-site budgets after each downsample stage
+    stage_budgets: Sequence[int] = (16000, 16000, 16000)
+    out_budget: int = 16000
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, train: bool = True):
+        """feats [B, V, C]; coords [B, V, 3] (z,y,x) sorted; valid [B, V].
+
+        Returns:
+            [B, H, W, C*D] dense BEV features (NHWC).
+        """
+        grid = tuple(self.sparse_shape)
+        x, c, v, g = SparseConvBlock(self.base_channels, 'subm')(
+            feats, coords, valid, grid, train)
+
+        assert self.block_type == 'basicblock', 'conv_module TBD'
+        num_stages = len(self.encoder_channels)
+        for i, blocks in enumerate(self.encoder_channels):
+            for j, out_ch in enumerate(blocks):
+                pad = self.encoder_paddings[i][j]
+                is_down = (j == len(blocks) - 1) and (i != num_stages - 1)
+                if is_down:
+                    pad3 = tuple(pad) if isinstance(pad, (tuple, list)) \
+                        else (pad,) * 3
+                    x, c, v, g = SparseConvBlock(
+                        out_ch, 'spconv', kernel_size=(3, 3, 3),
+                        stride=(2, 2, 2), padding=pad3,
+                        out_budget=self.stage_budgets[i])(
+                            x, c, v, g, train)
+                else:
+                    x = SparseBasicBlock(out_ch)(x, c, v, g, train)
+
+        x, c, v, g = SparseConvBlock(
+            self.output_channels, 'spconv', kernel_size=(3, 1, 1),
+            stride=(2, 1, 1), padding=(0, 0, 0),
+            out_budget=self.out_budget)(x, c, v, g, train)
+
+        # densify: [B, C, D, H, W] -> NHWC [B, H, W, C*D]
+        nz, ny, nx = g
+
+        def densify(f, cc, vv):
+            z = jnp.where(vv, cc[:, 0], nz)
+            y = jnp.where(vv, cc[:, 1], 0)
+            xx = jnp.where(vv, cc[:, 2], 0)
+            dense = jnp.zeros((nz + 1, ny, nx, f.shape[-1]), f.dtype)
+            dense = dense.at[z, y, xx].set(jnp.where(vv[:, None], f, 0.0))
+            return dense[:nz]  # [D, H, W, C]
+
+        dense = jax.vmap(densify)(x, c, v)  # [B, D, H, W, C]
+        B = dense.shape[0]
+        # channel-major over (C, D) to match the reference's view(N, C*D, ...)
+        dense = dense.transpose(0, 2, 3, 4, 1)  # [B, H, W, C, D]
+        return dense.reshape(B, ny, nx, -1)
+
+
+class PointPillarsScatter(nn.Module):
+    """Scatter pillar features to a dense NHWC canvas
+    (pillar_scatter.py:10)."""
+    output_shape: Tuple[int, int]  # (ny, nx)
+
+    def __call__(self, feats, coords, valid):
+        """feats [B, V, C]; coords [B, V, 3] (z,y,x); valid [B, V].
+
+        Returns [B, H, W, C].
+        """
+        canvas = jax.vmap(
+            lambda f, c, v: pillar_scatter(f, c, v, self.output_shape)
+        )(feats, coords, valid)
+        return canvas.transpose(0, 2, 3, 1)

@@ -1,0 +1,213 @@
+"""TPU-native sparse 3D convolution engine.
+
+Replaces spconv / mmcv sparse ops (consumed by the reference at
+/root/reference/mmdet3d/models/middle_encoders/sparse_encoder.py:12-15 and
+/root/reference/mmdet3d/ops/sparse_block.py) with a static-shape
+gather-GEMM-scatter formulation that XLA maps onto the TPU:
+
+- Active voxels live in a fixed budget ``N`` per sample, kept *sorted by
+  linearized coordinate* with invalid slots parked at the end. The sorted
+  invariant makes neighbor lookup a vectorized binary search
+  (``jnp.searchsorted``) — no hash tables, no atomics, no dynamic shapes.
+- A K-point convolution is K gathers + one batched matmul
+  ``einsum('knc,kcd->nd')`` that runs on the MXU.
+- Regular (strided) sparse conv materializes its output active set by
+  sort-deduplicating the <= K*N candidate output sites into a static
+  budget.
+
+All functions operate on a single sample; batch via ``jax.vmap``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class SparseTensor:
+    """A sample's active voxels. ``coords`` are (z, y, x), sorted by
+    linearized id; rows where ``valid`` is False are padding (parked at the
+    end by construction)."""
+    features: jnp.ndarray                # [N, C]
+    coords: jnp.ndarray                  # [N, 3] int32 (z, y, x)
+    valid: jnp.ndarray                   # [N] bool
+    grid: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+
+
+def _linearize(coords, valid, grid):
+    nz, ny, nx = grid
+    big = np.int64(nz) * ny * nx
+    lin = (coords[:, 0].astype(jnp.int64) * (ny * nx)
+           + coords[:, 1].astype(jnp.int64) * nx
+           + coords[:, 2].astype(jnp.int64))
+    return jnp.where(valid, lin, big), big
+
+
+def from_voxels(features, coords, num_voxels, grid):
+    """Build a SparseTensor from ``ops.voxelize.hard_voxelize`` outputs
+    (which already emits coords sorted by linear id, invalid last)."""
+    n = features.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    valid = idx < num_voxels
+    return SparseTensor(features=features, coords=coords, valid=valid,
+                        grid=tuple(grid))
+
+
+def _triple(v):
+    """Normalize an int or length-3 sequence to a (z, y, x) tuple."""
+    return tuple(int(x) for x in np.broadcast_to(np.asarray(v), (3,)))
+
+
+def _kernel_offsets(kernel_size):
+    """Static [K, 3] integer offsets for a (kz, ky, kx) kernel."""
+    kz, ky, kx = _triple(kernel_size)
+    offs = np.stack(np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx),
+                                indexing='ij'), -1).reshape(-1, 3)
+    return offs  # row-major over (z, y, x)
+
+
+def gather_neighbors(st: SparseTensor, query_coords, query_valid,
+                     kernel_size, stride, padding):
+    """Gather input features at ``query*stride - padding + offset`` for all
+    kernel offsets.
+
+    Returns:
+        [K, Q, C] features (zeros where the neighbor is inactive).
+    """
+    offsets = _kernel_offsets(kernel_size)
+    stride = np.asarray(_triple(stride), np.int64)
+    padding = np.asarray(_triple(padding), np.int64)
+    lin_in, big = _linearize(st.coords, st.valid, st.grid)
+    nz, ny, nx = st.grid
+
+    base = (query_coords.astype(jnp.int64) * stride[None, :]
+            - padding[None, :])  # [Q, 3]
+    tgt = base[None, :, :] + jnp.asarray(offsets, jnp.int64)[:, None, :]
+    in_bounds = jnp.all(
+        (tgt >= 0) & (tgt < jnp.asarray([nz, ny, nx], jnp.int64)), axis=-1)
+    lin_t = (tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2])
+    lin_t = jnp.where(in_bounds & query_valid[None, :], lin_t, big)
+
+    pos = jnp.searchsorted(lin_in, lin_t.reshape(-1))
+    pos = jnp.clip(pos, 0, lin_in.shape[0] - 1)
+    hit = (lin_in[pos] == lin_t.reshape(-1)) & (lin_t.reshape(-1) < big)
+    feats = jnp.where(hit[:, None], st.features[pos], 0.0)
+    K = offsets.shape[0]
+    return feats.reshape(K, query_coords.shape[0], st.features.shape[-1])
+
+
+def subm_conv(st: SparseTensor, weights, bias=None):
+    """Submanifold sparse conv: output sites == input sites
+    (spconv SubMConv3d semantics; padding fixed at (k-1)/2).
+
+    Args:
+        st: input sparse tensor.
+        weights: [K, Cin, Cout] with K = prod(kernel_size); kernel offsets
+            row-major over (z, y, x).
+
+    Returns:
+        SparseTensor with the same coords/valid and new features.
+    """
+    K = weights.shape[0]
+    k = round(K ** (1 / 3))
+    assert k ** 3 == K, 'subm_conv expects a cubic kernel'
+    pad = (k - 1) // 2
+    gathered = gather_neighbors(st, st.coords, st.valid,
+                                (k, k, k), (1, 1, 1), (pad, pad, pad))
+    out = jnp.einsum('knc,kcd->nd', gathered, weights,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(st.valid[:, None], out, 0.0)
+    return st.replace(features=out.astype(st.features.dtype))
+
+
+def downsample_coords(st: SparseTensor, kernel_size, stride, padding,
+                      out_budget):
+    """Active output sites of a strided sparse conv, sort-deduplicated into
+    a static budget (spconv SparseConv3d output-site semantics: every
+    position whose kernel window touches an active input).
+
+    Returns:
+        (out_coords [M, 3], out_valid [M], out_grid) with M = out_budget,
+        sorted by linear id.
+    """
+    offsets = _kernel_offsets(kernel_size)
+    stride_a = np.asarray(_triple(stride), np.int64)
+    pad_a = np.asarray(_triple(padding), np.int64)
+    nz, ny, nx = st.grid
+    out_grid = tuple(
+        int((d + 2 * p - k) // s + 1)
+        for d, p, k, s in zip((nz, ny, nx), pad_a, _triple(kernel_size),
+                              stride_a))
+    oz, oy, ox = out_grid
+
+    # candidate outputs: o = (c + p - k_off) / s where divisible & in range
+    num = (st.coords.astype(jnp.int64)[None, :, :] + pad_a[None, None, :]
+           - jnp.asarray(offsets, jnp.int64)[:, None, :])  # [K, N, 3]
+    div_ok = jnp.all(num % stride_a[None, None, :] == 0, axis=-1)
+    o = num // stride_a[None, None, :]
+    in_rng = jnp.all(
+        (o >= 0) & (o < jnp.asarray(out_grid, jnp.int64)), axis=-1)
+    ok = div_ok & in_rng & st.valid[None, :]
+
+    big = np.int64(oz) * oy * ox
+    lin = (o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2]).reshape(-1)
+    lin = jnp.where(ok.reshape(-1), lin, big)
+    lin_s = jnp.sort(lin)
+    prev = jnp.concatenate([jnp.full((1,), -1, lin_s.dtype), lin_s[:-1]])
+    newv = (lin_s != prev) & (lin_s < big)
+    slot = jnp.cumsum(newv.astype(jnp.int32)) - 1
+    slot = jnp.where(newv & (slot < out_budget), slot, out_budget)
+
+    out_lin = jnp.full((out_budget + 1,), big, jnp.int64).at[slot].set(
+        jnp.where(newv, lin_s, big))[:out_budget]
+    out_valid = out_lin < big
+    zz = out_lin // (oy * ox)
+    yy = (out_lin % (oy * ox)) // ox
+    xx = out_lin % ox
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([zz, yy, xx], -1).astype(jnp.int32), -1)
+    return out_coords, out_valid, out_grid
+
+
+def sparse_conv(st: SparseTensor, weights, kernel_size, stride, padding,
+                out_budget, bias=None):
+    """Regular (strided) sparse conv with static output budget.
+
+    Args:
+        weights: [K, Cin, Cout], K = prod(kernel_size).
+        kernel_size / stride / padding: 3-tuples (z, y, x).
+
+    Returns:
+        SparseTensor on the downsampled grid.
+    """
+    out_coords, out_valid, out_grid = downsample_coords(
+        st, kernel_size, stride, padding, out_budget)
+    gathered = gather_neighbors(st, out_coords, out_valid, kernel_size,
+                                stride, padding)
+    out = jnp.einsum('knc,kcd->nd', gathered, weights,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(out_valid[:, None], out, 0.0)
+    return SparseTensor(features=out.astype(st.features.dtype),
+                        coords=out_coords, valid=out_valid, grid=out_grid)
+
+
+def to_dense(st: SparseTensor):
+    """Scatter into a dense [C, nz, ny, nx] grid (SparseConvTensor.dense)."""
+    nz, ny, nx = st.grid
+    z = jnp.where(st.valid, st.coords[:, 0], nz)
+    y = jnp.where(st.valid, st.coords[:, 1], 0)
+    x = jnp.where(st.valid, st.coords[:, 2], 0)
+    dense = jnp.zeros((nz + 1, ny, nx, st.features.shape[-1]),
+                      st.features.dtype)
+    dense = dense.at[z, y, x].set(
+        jnp.where(st.valid[:, None], st.features, 0.0))
+    return dense[:nz].transpose(3, 0, 1, 2)

@@ -1,0 +1,114 @@
+"""Sparse conv engine vs dense jax.lax conv ground truth."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gga_tpu.ops import sparse as sp
+
+
+def _random_sparse(rng, grid, n_active, n_budget, cin):
+    nz, ny, nx = grid
+    lin = rng.choice(nz * ny * nx, size=n_active, replace=False)
+    lin = np.sort(lin)
+    coords = np.stack([lin // (ny * nx), (lin // nx) % ny, lin % nx], -1)
+    feats = rng.randn(n_active, cin).astype(np.float32)
+    pad = n_budget - n_active
+    coords = np.concatenate([coords, -np.ones((pad, 3), np.int64)])
+    feats = np.concatenate([feats, np.zeros((pad, cin), np.float32)])
+    valid = np.arange(n_budget) < n_active
+    return sp.SparseTensor(
+        features=jnp.asarray(feats), coords=jnp.asarray(coords, jnp.int32),
+        valid=jnp.asarray(valid), grid=tuple(grid))
+
+
+def _dense_conv(st, weights, kernel, stride, padding):
+    """Ground truth: densify + lax.conv_general_dilated."""
+    dense = np.asarray(sp.to_dense(st))  # [C, nz, ny, nx]
+    kz, ky, kx = kernel
+    w = np.asarray(weights).reshape(kz, ky, kx, weights.shape[-2],
+                                    weights.shape[-1])
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(dense)[None], jnp.asarray(w),
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=('NCDHW', 'DHWIO', 'NCDHW'))
+    return np.asarray(out)[0]  # [Cout, oz, oy, ox]
+
+
+def test_subm_conv_matches_dense_at_active_sites():
+    rng = np.random.RandomState(0)
+    st = _random_sparse(rng, (6, 8, 8), 40, 64, 3)
+    w = rng.randn(27, 3, 4).astype(np.float32) * 0.2
+    out = sp.subm_conv(st, jnp.asarray(w))
+    dense_out = _dense_conv(st, jnp.asarray(w), (3, 3, 3), (1, 1, 1),
+                            (1, 1, 1))
+    got = np.asarray(out.features)
+    coords = np.asarray(st.coords)
+    for i in range(40):
+        z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], dense_out[:, z, y, x], atol=1e-4)
+    # padding rows zero
+    assert np.abs(got[40:]).max() == 0
+
+
+def test_sparse_conv_stride2_matches_dense():
+    rng = np.random.RandomState(1)
+    st = _random_sparse(rng, (7, 9, 9), 30, 48, 2)
+    w = rng.randn(27, 2, 5).astype(np.float32) * 0.3
+    out = sp.sparse_conv(st, jnp.asarray(w), (3, 3, 3), (2, 2, 2),
+                         (1, 1, 1), out_budget=64)
+    dense_out = _dense_conv(st, jnp.asarray(w), (3, 3, 3), (2, 2, 2),
+                            (1, 1, 1))
+    assert out.grid == dense_out.shape[1:]
+    oc = np.asarray(out.coords)
+    ov = np.asarray(out.valid)
+    got = np.asarray(out.features)
+    assert ov.sum() > 0
+    for i in np.where(ov)[0]:
+        z, y, x = oc[i]
+        np.testing.assert_allclose(got[i], dense_out[:, z, y, x], atol=1e-4)
+    # completeness: every nonzero dense output site is in the active set
+    active = {tuple(c) for c in oc[ov]}
+    nz_sites = np.argwhere(np.abs(dense_out).sum(0) > 1e-5)
+    for site in nz_sites:
+        assert tuple(site) in active
+
+
+def test_sparse_conv_asymmetric_kernel():
+    """conv_out of SparseEncoder: kernel (3,1,1), stride (2,1,1), pad 0."""
+    rng = np.random.RandomState(2)
+    st = _random_sparse(rng, (5, 6, 6), 25, 32, 4)
+    w = rng.randn(3, 4, 6).astype(np.float32) * 0.3
+    out = sp.sparse_conv(st, jnp.asarray(w), (3, 1, 1), (2, 1, 1),
+                         (0, 0, 0), out_budget=64)
+    dense_out = _dense_conv(st, jnp.asarray(w), (3, 1, 1), (2, 1, 1),
+                            (0, 0, 0))
+    assert out.grid == dense_out.shape[1:]
+    oc, ov = np.asarray(out.coords), np.asarray(out.valid)
+    got = np.asarray(out.features)
+    for i in np.where(ov)[0]:
+        z, y, x = oc[i]
+        np.testing.assert_allclose(got[i], dense_out[:, z, y, x], atol=1e-4)
+
+
+def test_to_dense_roundtrip():
+    rng = np.random.RandomState(3)
+    st = _random_sparse(rng, (4, 4, 4), 10, 16, 2)
+    dense = np.asarray(sp.to_dense(st))
+    assert dense.shape == (2, 4, 4, 4)
+    coords = np.asarray(st.coords)
+    feats = np.asarray(st.features)
+    for i in range(10):
+        z, y, x = coords[i]
+        np.testing.assert_allclose(dense[:, z, y, x], feats[i])
+    assert np.count_nonzero(dense.sum(0)) <= 10
+
+
+def test_out_budget_overflow_is_graceful():
+    rng = np.random.RandomState(4)
+    st = _random_sparse(rng, (6, 6, 6), 50, 64, 2)
+    w = rng.randn(27, 2, 3).astype(np.float32)
+    # tiny budget: must not crash; keeps the lowest-id sites
+    out = sp.sparse_conv(st, jnp.asarray(w), (3, 3, 3), (2, 2, 2),
+                         (1, 1, 1), out_budget=4)
+    assert int(np.asarray(out.valid).sum()) == 4
