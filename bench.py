@@ -1,0 +1,123 @@
+"""Benchmark: GGA weak-training step throughput on one TPU chip.
+
+Runs the full-size KITTI GGA config (voxel grid 1408x1600x40, 16k voxels,
+SparseEncoder -> SECOND -> SECONDFPN -> CenterHead + GGA losses + AdamW)
+on synthetic KITTI-shaped scenes and reports steady-state scenes/sec/chip.
+
+Baseline: the PyTorch reference trains SECOND-class models at ~40
+samples/s on 8x V100 => 5 scenes/s per GPU
+(/root/reference/docs/en/benchmarks.md:17-23; BASELINE.md). The driver
+north star is >= 5x that per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def make_batch(B, P, M, Pc, seed=0):
+    rng = np.random.RandomState(seed)
+    # KITTI-like scene: ~P points in the front-camera frustum
+    x = rng.uniform(0, 70.4, (B, P, 1))
+    y = (rng.uniform(-0.45, 0.45, (B, P, 1)) * (x + 8))
+    z = rng.uniform(-2.5, 0.5, (B, P, 1))
+    r = rng.rand(B, P, 1)
+    pts = np.concatenate([x, y, z, r], -1).astype(np.float32)
+    valid = np.ones((B, P), bool)
+
+    n_obj = 24
+    labels = np.full((B, M), -1, np.int32)
+    labels[:, :n_obj] = rng.randint(0, 3, (B, n_obj))
+    obj_valid = np.zeros((B, M), bool)
+    obj_valid[:, :n_obj] = True
+    pseudo = np.zeros((B, M, 7), np.float32)
+    pseudo[:, :n_obj, 0] = rng.uniform(5, 65, (B, n_obj))
+    pseudo[:, :n_obj, 1] = rng.uniform(-35, 35, (B, n_obj))
+    pseudo[:, :n_obj, 2] = -1.0
+    pseudo[:, :n_obj, 3:5] = rng.uniform(0.5, 4.5, (B, n_obj, 2))
+    pseudo[:, :n_obj, 5] = rng.uniform(1.2, 2.0, (B, n_obj))
+    boxes_img = np.zeros((B, M, 4), np.float32)
+    boxes_img[:, :n_obj, 0] = rng.uniform(0, 600, (B, n_obj))
+    boxes_img[:, :n_obj, 1] = rng.uniform(100, 250, (B, n_obj))
+    boxes_img[:, :n_obj, 2] = boxes_img[:, :n_obj, 0] + rng.uniform(
+        30, 400, (B, n_obj))
+    boxes_img[:, :n_obj, 3] = boxes_img[:, :n_obj, 1] + rng.uniform(
+        20, 120, (B, n_obj))
+    bdry = np.zeros((B, M, 4), bool)
+    l2i = np.zeros((B, M, 4, 4), np.float32)
+    l2i[..., 0, 0] = 721.5
+    l2i[..., 1, 1] = 721.5
+    l2i[..., 0, 2] = 609.6
+    l2i[..., 1, 2] = 172.9
+    l2i[..., 2, 2] = 1.0
+    l2i[..., 3, 3] = 1.0
+    ibp = np.zeros((B, M, Pc, 2), np.float32)
+    ibp[:, :n_obj] = pseudo[:, :n_obj, None, :2] + rng.randn(
+        B, n_obj, Pc, 2).astype(np.float32)
+    ibp_valid = np.zeros((B, M, Pc), bool)
+    ibp_valid[:, :n_obj, :64] = True
+    return dict(points=pts, points_valid=valid, labels=labels,
+                obj_valid=obj_valid, init_pseudo=pseudo,
+                boxes_img=boxes_img, bdry_masks=bdry, lidar2img=l2i,
+                ibp_xy=ibp, ibp_valid=ibp_valid)
+
+
+def main():
+    import jax
+
+    from gga_tpu.models.dense_heads.centerpoint_head_gga import GGAHeadConfig
+    from gga_tpu.models.detectors.centerpoint_gga import (GGAModelConfig,
+                                                          GGADetector)
+    from gga_tpu.parallel.mesh import data_parallel_mesh, shard_batch
+    from gga_tpu.train.loop import create_train_state, make_jitted_train_step
+    from gga_tpu.train.optim import build_optimizer
+
+    B = 8                 # scenes per step (per chip)
+    P = 20000             # reduced-cloud points per scene
+    M = 128               # padded object slots (KITTI scenes stay < ~48)
+    Pc = 256              # padded cluster points per object
+
+    head = GGAHeadConfig(max_objs=M)
+    cfg = GGAModelConfig(head=head)
+    model = GGADetector(cfg)
+    batch_np = make_batch(B, P, M, Pc)
+
+    mesh = data_parallel_mesh(jax.devices()[:1])
+    variables = model.init(
+        jax.random.PRNGKey(0), batch_np['points'][:1],
+        batch_np['points_valid'][:1], train=False)
+    tx = build_optimizer(total_steps=10000)
+    state = create_train_state(model, variables, tx)
+
+    with mesh:
+        step = make_jitted_train_step(mesh, cfg.head)
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        batch = shard_batch(mesh, batch_np)
+        rng = jax.random.PRNGKey(1)
+
+        # warmup / compile
+        state, logs = step(state, batch, rng)
+        jax.block_until_ready(logs['loss'])
+
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, logs = step(state, batch, rng)
+        jax.block_until_ready(logs['loss'])
+        dt = (time.perf_counter() - t0) / iters
+
+    scenes_per_sec = B / dt
+    baseline = 5.0  # reference scenes/s per V100 (SECOND, benchmarks.md)
+    print(json.dumps({
+        'metric': 'gga_weak_train_scenes_per_sec_per_chip',
+        'value': round(scenes_per_sec, 2),
+        'unit': 'scenes/s',
+        'vs_baseline': round(scenes_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -41,9 +41,13 @@ class SparseTensor:
 def _linearize(coords, valid, grid):
     nz, ny, nx = grid
     big = np.int64(nz) * ny * nx
-    lin = (coords[:, 0].astype(jnp.int64) * (ny * nx)
-           + coords[:, 1].astype(jnp.int64) * nx
-           + coords[:, 2].astype(jnp.int64))
+    # linear ids are int32 on TPU; the KITTI grid (41*1600*1408 ~ 9.2e7)
+    # fits comfortably. Guard against silent overflow on bigger grids.
+    assert big < 2 ** 31 - 1, f'grid {grid} overflows int32 linearization'
+    big = np.int32(big)
+    lin = (coords[:, 0].astype(jnp.int32) * (ny * nx)
+           + coords[:, 1].astype(jnp.int32) * nx
+           + coords[:, 2].astype(jnp.int32))
     return jnp.where(valid, lin, big), big
 
 
@@ -84,11 +88,11 @@ def gather_neighbors(st: SparseTensor, query_coords, query_valid,
     lin_in, big = _linearize(st.coords, st.valid, st.grid)
     nz, ny, nx = st.grid
 
-    base = (query_coords.astype(jnp.int64) * stride[None, :]
+    base = (query_coords.astype(jnp.int32) * stride[None, :]
             - padding[None, :])  # [Q, 3]
-    tgt = base[None, :, :] + jnp.asarray(offsets, jnp.int64)[:, None, :]
+    tgt = base[None, :, :] + jnp.asarray(offsets, jnp.int32)[:, None, :]
     in_bounds = jnp.all(
-        (tgt >= 0) & (tgt < jnp.asarray([nz, ny, nx], jnp.int64)), axis=-1)
+        (tgt >= 0) & (tgt < jnp.asarray([nz, ny, nx], jnp.int32)), axis=-1)
     lin_t = (tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2])
     lin_t = jnp.where(in_bounds & query_valid[None, :], lin_t, big)
 
@@ -147,12 +151,12 @@ def downsample_coords(st: SparseTensor, kernel_size, stride, padding,
     oz, oy, ox = out_grid
 
     # candidate outputs: o = (c + p - k_off) / s where divisible & in range
-    num = (st.coords.astype(jnp.int64)[None, :, :] + pad_a[None, None, :]
-           - jnp.asarray(offsets, jnp.int64)[:, None, :])  # [K, N, 3]
+    num = (st.coords.astype(jnp.int32)[None, :, :] + pad_a[None, None, :]
+           - jnp.asarray(offsets, jnp.int32)[:, None, :])  # [K, N, 3]
     div_ok = jnp.all(num % stride_a[None, None, :] == 0, axis=-1)
     o = num // stride_a[None, None, :]
     in_rng = jnp.all(
-        (o >= 0) & (o < jnp.asarray(out_grid, jnp.int64)), axis=-1)
+        (o >= 0) & (o < jnp.asarray(out_grid, jnp.int32)), axis=-1)
     ok = div_ok & in_rng & st.valid[None, :]
 
     big = np.int64(oz) * oy * ox
@@ -164,7 +168,7 @@ def downsample_coords(st: SparseTensor, kernel_size, stride, padding,
     slot = jnp.cumsum(newv.astype(jnp.int32)) - 1
     slot = jnp.where(newv & (slot < out_budget), slot, out_budget)
 
-    out_lin = jnp.full((out_budget + 1,), big, jnp.int64).at[slot].set(
+    out_lin = jnp.full((out_budget + 1,), big, jnp.int32).at[slot].set(
         jnp.where(newv, lin_s, big))[:out_budget]
     out_valid = out_lin < big
     zz = out_lin // (oy * ox)

@@ -74,13 +74,13 @@ def hard_voxelize(points, valid, *, voxel_size, pc_range, max_points=5,
     vs = jnp.asarray(voxel_size, jnp.float32)
     lo = jnp.asarray(pc_range[:3], jnp.float32)
     hi = jnp.asarray(pc_range[3:], jnp.float32)
-    grid = jnp.round((hi - lo) / vs).astype(jnp.int64)
+    grid = jnp.round((hi - lo) / vs).astype(jnp.int32)
     gx, gy, gz = grid[0], grid[1], grid[2]
 
     # linear id; invalid points get the max id so they sort to the end
-    lin = (coords[:, 2].astype(jnp.int64) * gy * gx
-           + coords[:, 1].astype(jnp.int64) * gx
-           + coords[:, 0].astype(jnp.int64))
+    lin = (coords[:, 2].astype(jnp.int32) * gy * gx
+           + coords[:, 1].astype(jnp.int32) * gx
+           + coords[:, 0].astype(jnp.int32))
     big = gx * gy * gz
     lin = jnp.where(ok, lin, big)
 

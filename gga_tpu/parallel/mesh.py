@@ -1,0 +1,40 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-program data parallelism over
+NCCL DDP (SURVEY.md §2.4; /root/reference/mmdet3d/utils/util_distribution.py,
+tools/dist_train.sh). The TPU-native equivalent: one ``Mesh(('data',))``
+over ICI (multi-host extends over DCN), batch sharded on axis 0, params
+replicated, and a single jitted train step — XLA GSPMD inserts the gradient
+all-reduce and makes every cross-batch reduction (e.g. batch norm moments)
+globally synchronized, subsuming the reference's NaiveSyncBatchNorm
+(/root/reference/mmdet3d/ops/norm.py:29).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_parallel_mesh(devices=None, axis_name='data'):
+    """1D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name='data'):
+    """Sharding for arrays whose axis 0 is the global batch."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh):
+    """Fully replicated sharding (params, opt state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch, axis_name='data'):
+    """Device-put a pytree of host arrays with axis 0 sharded over the
+    mesh (axis 0 must divide by mesh size)."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
