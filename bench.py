@@ -67,6 +67,9 @@ def make_batch(B, P, M, Pc, seed=0):
 def main():
     import jax
 
+    from gga_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+
     from gga_tpu.models.dense_heads.centerpoint_head_gga import GGAHeadConfig
     from gga_tpu.models.detectors.centerpoint_gga import (GGAModelConfig,
                                                           GGADetector)

@@ -160,6 +160,10 @@ def rotated_iou_camera_eval(boxes1, boxes2, criterion=-1):
         denom = a1[:, None] + a2[None, :] - inter
     elif criterion == 0:
         denom = np.broadcast_to(a1[:, None], inter.shape)
-    else:
+    elif criterion == 1:
         denom = np.broadcast_to(a2[None, :], inter.shape)
+    else:
+        # criterion 2: raw intersection area (rotate_iou.py devide_method
+        # fall-through; consumed by d3_box_overlap, eval.py:158)
+        return inter
     return inter / np.maximum(denom, 1e-8)

@@ -1,0 +1,74 @@
+"""Datasets: KITTI GGA train/eval views over info pkls.
+
+Replaces the reference's KittiDataset_GGA{_train,_match} classes
+(/root/reference/mmdet3d/datasets/kitti_dataset_GGA_train.py:21) with a
+thin host-side dataset that runs the functional pipeline and emits
+fixed-shape batches for the jitted step.
+"""
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from . import pipelines as pl
+
+
+class KittiGGADataset:
+    CLASSES = ('Pedestrian', 'Cyclist', 'Car')
+
+    def __init__(self, root, info_path, *, db_sampler=None,
+                 pc_range=(0, -40, -3, 70.4, 40, 1), num_points_range=15,
+                 pts_prefix='velodyne_reduced', max_points=24000,
+                 max_objs=128, max_cluster_pts=256, min_distance=5.0,
+                 test_mode=False, seed=0):
+        with open(info_path, 'rb') as f:
+            self.infos = pickle.load(f)
+        self.root = root
+        self.db_sampler = db_sampler
+        self.pc_range = tuple(pc_range)
+        self.num_points_range = num_points_range
+        self.pts_prefix = pts_prefix
+        self.shapes = (max_points, max_objs, max_cluster_pts)
+        self.min_distance = min_distance
+        self.test_mode = test_mode
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_sample(self, idx):
+        """Raw pipeline output (pre-formatting), for eval/inspection."""
+        s = pl.load_sample(self.infos[idx], self.root,
+                           pts_prefix=self.pts_prefix,
+                           classes=self.CLASSES)
+        if not self.test_mode:
+            if self.db_sampler is not None:
+                s = pl.object_sample_gga(s, self.db_sampler,
+                                         self.min_distance, self._rng)
+            s = pl.points_range_filter(s, self.pc_range)
+            s = pl.object_range_filter_gga(s, self.pc_range,
+                                           self.num_points_range)
+            s = pl.point_shuffle(s, self._rng)
+        else:
+            s = pl.points_range_filter(s, self.pc_range)
+        return s
+
+    def __getitem__(self, idx):
+        s = self.get_sample(idx)
+        P, M, Pc = self.shapes
+        return pl.format_gga_batch_item(s, P, M, Pc, self._rng)
+
+    def epoch_batches(self, batch_size, shuffle=True, seed=None,
+                      drop_last=True):
+        """Deterministic per-epoch batch iterator (host-side)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed or 0).shuffle(order)
+        n = (len(order) // batch_size * batch_size if drop_last
+             else len(order))
+        for i in range(0, n, batch_size):
+            idxs = order[i:i + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
+            yield pl.collate([self[j] for j in idxs])

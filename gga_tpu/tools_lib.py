@@ -1,0 +1,129 @@
+"""Shared helpers for the CLI tools: config -> model, checkpoint restore,
+batched inference (the single_gpu_test / multi_gpu_test equivalent,
+/root/reference/mmdet3d/apis/test.py:12)."""
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import pipelines as pl
+from .models.dense_heads.centerpoint_head_gga import GGAHeadConfig
+from .models.detectors.centerpoint_gga import (GGAModelConfig, GGADetector,
+                                               decode_detections)
+
+
+def _t(v):
+    return tuple(tuple(x) if isinstance(x, (list, tuple)) else x for x in v)
+
+
+def head_config_from_cfg(cfg) -> GGAHeadConfig:
+    h = cfg.head
+    return GGAHeadConfig(
+        voxel_size=tuple(h.voxel_size),
+        point_cloud_range=tuple(h.point_cloud_range),
+        grid_size=tuple(h.grid_size),
+        out_size_factor=h.out_size_factor,
+        max_objs=h.max_objs,
+        gaussian_overlap=h.gaussian_overlap,
+        min_radius=h.min_radius,
+        code_weights=tuple(h.code_weights),
+        srl_priors=_t(h.srl_priors),
+        loss_heatmap_weight=h.loss_heatmap_weight,
+        loss_bpl_weight=h.loss_bpl_weight,
+        loss_srl_weight=h.loss_srl_weight,
+        loss_pal_weight=h.loss_pal_weight,
+        pal_in_total_loss=h.pal_in_total_loss,
+    )
+
+
+def model_config_from_cfg(cfg) -> GGAModelConfig:
+    m = cfg.model
+    return GGAModelConfig(
+        voxel_size=tuple(m.voxel_size),
+        point_cloud_range=tuple(m.point_cloud_range),
+        max_points_per_voxel=m.max_points_per_voxel,
+        max_voxels=m.max_voxels,
+        sparse_shape=tuple(m.sparse_shape),
+        encoder_channels=_t(m.encoder_channels),
+        encoder_paddings=_t(m.encoder_paddings),
+        encoder_budgets=tuple(m.encoder_budgets),
+        encoder_out_budget=m.encoder_out_budget,
+        encoder_out_channels=m.encoder_out_channels,
+        backbone_channels=tuple(m.backbone_channels),
+        backbone_layers=tuple(m.backbone_layers),
+        backbone_strides=tuple(m.backbone_strides),
+        neck_channels=tuple(m.neck_channels),
+        neck_strides=tuple(m.neck_strides),
+        tasks=tuple(m.tasks),
+        share_conv_channel=m.share_conv_channel,
+        head=head_config_from_cfg(cfg),
+        **{k: cfg.test_cfg[k] for k in
+           ('max_per_task', 'score_threshold', 'nms_thr', 'post_max_size')})
+
+
+def build_model_from_cfg(cfg, checkpoint_dir=None):
+    """(model, model_cfg, state-like dict with params + batch_stats)."""
+    from .train import checkpoints as ckpt
+    from .train.loop import create_train_state
+    from .train.optim import build_optimizer
+
+    model_cfg = model_config_from_cfg(cfg)
+    model = GGADetector(model_cfg)
+    dummy_p = np.zeros((1, 128, 4), np.float32)
+    dummy_v = np.zeros((1, 128), bool)
+    variables = model.init(jax.random.PRNGKey(0), dummy_p, dummy_v,
+                           train=False)
+    tx = build_optimizer(total_steps=1)
+    state = create_train_state(model, variables, tx)
+    if checkpoint_dir:
+        state, ok = ckpt.resume_from(checkpoint_dir, state)
+        if not ok:
+            raise FileNotFoundError(
+                f'no checkpoint found in {checkpoint_dir}')
+    return model, model_cfg, state
+
+
+def run_inference(model, model_cfg, state, cfg, infos, batch_size,
+                  max_points=None):
+    """Batched jitted inference over scenes -> per-scene detection dicts
+    (boxes_3d [n, 7] lidar bottom-center, scores_3d, labels_3d)."""
+    max_points = max_points or cfg.data.max_points
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    @jax.jit
+    def infer(points, points_valid):
+        preds = model.apply(variables, points, points_valid, train=False)
+        return decode_detections(model_cfg, preds)
+
+    detections = []
+    n = len(infos)
+    for i in range(0, n, batch_size):
+        chunk = infos[i:i + batch_size]
+        pts_b = np.zeros((batch_size, max_points, 4), np.float32)
+        val_b = np.zeros((batch_size, max_points), bool)
+        for j, info in enumerate(chunk):
+            s = pl.load_sample(info, cfg.data_root,
+                               pts_prefix=cfg.data.pts_prefix)
+            s = pl.points_range_filter(s, cfg.point_cloud_range)
+            p = s['points'][:max_points]
+            pts_b[j, :len(p)] = p[:, :4]
+            val_b[j, :len(p)] = True
+        out = jax.device_get(infer(jnp.asarray(pts_b), jnp.asarray(val_b)))
+        for j in range(len(chunk)):
+            v = out['valid'][j]
+            detections.append(dict(
+                boxes_3d=out['boxes'][j][v],
+                scores_3d=out['scores'][j][v],
+                labels_3d=out['labels'][j][v]))
+        if (i // batch_size) % 20 == 0:
+            print(f'  inference {i + len(chunk)}/{n}')
+    return detections
+
+
+def load_infos(cfg, name):
+    with open(os.path.join(cfg.data_root, name), 'rb') as f:
+        return pickle.load(f)

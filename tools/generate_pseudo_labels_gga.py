@@ -1,0 +1,79 @@
+"""Stage 3: pseudo-3D-label generation.
+
+Equivalent of /root/reference/tools/generate_pseudo_labels_gga.py +
+KittiDataset_GGA_match.evaluate (kitti_dataset_GGA_match.py:421): run
+inference over the trainval split, convert to KITTI annos, match against
+the 2D GT by image-plane IoU, dump the pseudo info pkl, and report KITTI AP
+against the (debug-only) 3D GT.
+
+Usage:
+    python tools/generate_pseudo_labels_gga.py configs/gga/gga_kitti.py \
+        --checkpoint work_dirs/kitti_GGA/checkpoints \
+        --out data/kitti_pseudo/kitti_infos_trainval_GGA_pseudo.pkl
+"""
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--checkpoint', required=True)
+    p.add_argument('--out', default=None)
+    p.add_argument('--eval', action='store_true',
+                   help='also report KITTI AP vs the 3D GT (debug)')
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--cfg-options', nargs='*', default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from gga_tpu.config import Config
+    from gga_tpu.data.kitti.pseudo_labels import pseudo_label_matching
+    from gga_tpu.eval.kitti_eval import kitti_eval
+    from gga_tpu.eval.submission import detections_to_kitti_annos
+    from gga_tpu.tools_lib import build_model_from_cfg, run_inference
+    from gga_tpu.utils.env import setup_compilation_cache
+
+    setup_compilation_cache()
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(
+        dict(kv.split('=', 1) for kv in args.cfg_options))
+
+    model, model_cfg, state = build_model_from_cfg(cfg, args.checkpoint)
+    info_path = os.path.join(cfg.data_root, cfg.data.train_info)
+    with open(info_path, 'rb') as f:
+        infos = pickle.load(f)
+
+    bs = args.batch_size or cfg.data.samples_per_gpu * len(jax.devices())
+    detections = run_inference(model, model_cfg, state, cfg, infos, bs)
+    det_annos = detections_to_kitti_annos(
+        detections, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
+
+    out = args.out or os.path.join(
+        cfg.data_root, '..', 'kitti_pseudo',
+        'kitti_infos_trainval_GGA_pseudo.pkl')
+    pseudo_infos, gt_annos = pseudo_label_matching(infos, det_annos,
+                                                   out_path=out)
+    print(f'pseudo infos -> {out}')
+
+    if args.eval:
+        result, ret = kitti_eval(gt_annos, det_annos,
+                                 ['Pedestrian', 'Cyclist', 'Car'])
+        print(result)
+        mod = np.mean([ret.get(f'KITTI/{c}_3D_AP11_moderate_strict', 0.0)
+                       for c in ('Car',)])
+        print(f'Car 3D AP11 moderate: {mod:.2f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,191 @@
+"""Stage 2: GGA weak training.
+
+Equivalent of /root/reference/tools/train.py + apis/train.py over a
+data-parallel TPU mesh: one jitted train step, orbax checkpoints with
+auto-resume, text logging, periodic checkpointing.
+
+Usage:
+    python tools/train.py configs/gga/gga_kitti.py \
+        [--work-dir D] [--resume] [--max-steps N] \
+        [--cfg-options k.ey=val ...]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume', action='store_true',
+                   help='auto-resume from latest checkpoint in work dir')
+    p.add_argument('--load-from', default=None,
+                   help='weights-only init from a checkpoint dir')
+    p.add_argument('--max-steps', type=int, default=None,
+                   help='cap total steps (debug)')
+    p.add_argument('--cfg-options', nargs='*', default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from gga_tpu.config import Config
+    from gga_tpu.data.dataset import KittiGGADataset
+    from gga_tpu.data.sampler import GGADataBaseSampler
+    from gga_tpu.models.dense_heads.centerpoint_head_gga import \
+        GGAHeadConfig
+    from gga_tpu.models.detectors.centerpoint_gga import (GGAModelConfig,
+                                                          GGADetector)
+    from gga_tpu.parallel.mesh import data_parallel_mesh, shard_batch
+    from gga_tpu.train import checkpoints as ckpt
+    from gga_tpu.train.loop import (create_train_state,
+                                    make_jitted_train_step)
+    from gga_tpu.train.optim import build_optimizer
+    from gga_tpu.utils.env import setup_compilation_cache
+
+    setup_compilation_cache()
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(
+        dict(kv.split('=', 1) for kv in args.cfg_options))
+    work_dir = args.work_dir or cfg.get('work_dir', './work_dirs/run')
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, 'config_dump.py'), 'w') as f:
+        f.write(cfg.dump())
+
+    def _t(v):
+        return tuple(tuple(x) if isinstance(x, (list, tuple)) else x
+                     for x in v)
+
+    head = GGAHeadConfig(
+        voxel_size=tuple(cfg.head.voxel_size),
+        point_cloud_range=tuple(cfg.head.point_cloud_range),
+        grid_size=tuple(cfg.head.grid_size),
+        out_size_factor=cfg.head.out_size_factor,
+        max_objs=cfg.head.max_objs,
+        gaussian_overlap=cfg.head.gaussian_overlap,
+        min_radius=cfg.head.min_radius,
+        code_weights=tuple(cfg.head.code_weights),
+        srl_priors=_t(cfg.head.srl_priors),
+        loss_heatmap_weight=cfg.head.loss_heatmap_weight,
+        loss_bpl_weight=cfg.head.loss_bpl_weight,
+        loss_srl_weight=cfg.head.loss_srl_weight,
+        loss_pal_weight=cfg.head.loss_pal_weight,
+        pal_in_total_loss=cfg.head.pal_in_total_loss,
+    )
+    m = cfg.model
+    model_cfg = GGAModelConfig(
+        voxel_size=tuple(m.voxel_size),
+        point_cloud_range=tuple(m.point_cloud_range),
+        max_points_per_voxel=m.max_points_per_voxel,
+        max_voxels=m.max_voxels,
+        sparse_shape=tuple(m.sparse_shape),
+        encoder_channels=_t(m.encoder_channels),
+        encoder_paddings=_t(m.encoder_paddings),
+        encoder_budgets=tuple(m.encoder_budgets),
+        encoder_out_budget=m.encoder_out_budget,
+        encoder_out_channels=m.encoder_out_channels,
+        backbone_channels=tuple(m.backbone_channels),
+        backbone_layers=tuple(m.backbone_layers),
+        backbone_strides=tuple(m.backbone_strides),
+        neck_channels=tuple(m.neck_channels),
+        neck_strides=tuple(m.neck_strides),
+        tasks=tuple(m.tasks),
+        share_conv_channel=m.share_conv_channel,
+        head=head,
+        **{k: cfg.test_cfg[k] for k in
+           ('max_per_task', 'score_threshold', 'nms_thr', 'post_max_size')})
+    model = GGADetector(model_cfg)
+
+    d = cfg.data
+    sampler = GGADataBaseSampler(
+        os.path.join(cfg.data_root, d.db_info), cfg.data_root,
+        classes=KittiGGADataset.CLASSES,
+        sample_groups=d.db_sampler.sample_groups,
+        rate=d.db_sampler.rate, prepare=d.db_sampler.prepare,
+        seed=cfg.seed)
+    dataset = KittiGGADataset(
+        cfg.data_root, os.path.join(cfg.data_root, d.train_info),
+        db_sampler=sampler, pc_range=cfg.point_cloud_range,
+        num_points_range=d.num_points_range, pts_prefix=d.pts_prefix,
+        max_points=d.max_points, max_objs=cfg.head.max_objs,
+        max_cluster_pts=d.max_cluster_pts, min_distance=d.min_distance,
+        seed=cfg.seed)
+
+    mesh = data_parallel_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    batch_size = d.samples_per_gpu * n_dev
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    total_steps = steps_per_epoch * cfg.max_epochs
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps)
+    print(f'devices={n_dev} batch={batch_size} '
+          f'steps/epoch={steps_per_epoch} total={total_steps}')
+
+    tx = build_optimizer(total_steps=total_steps, **dict(cfg.optimizer))
+    example = dataset[0]
+    variables = model.init(
+        jax.random.PRNGKey(cfg.seed), example['points'][None],
+        example['points_valid'][None], train=False)
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(variables['params']))
+    print(f'params: {n_params / 1e6:.2f}M')
+    state = create_train_state(model, variables, tx)
+
+    ckpt_dir = os.path.join(work_dir, 'checkpoints')
+    if args.resume:
+        state, ok = ckpt.resume_from(ckpt_dir, state)
+        print(f'resume: {"ok, step " + str(int(state.step)) if ok else "no checkpoint"}')
+    elif args.load_from:
+        state, ok = ckpt.load_from(args.load_from, state)
+        print(f'load_from: {"ok" if ok else "no checkpoint"}')
+
+    with mesh:
+        step_fn = make_jitted_train_step(mesh, head)
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        log_path = os.path.join(work_dir, 'train_log.jsonl')
+        step = int(state.step)
+        t_last = time.perf_counter()
+        done = False
+        for epoch in range(cfg.max_epochs):
+            if done:
+                break
+            for batch in dataset.epoch_batches(batch_size,
+                                               seed=cfg.seed + epoch):
+                batch.pop('gt_boxes', None)
+                sb = shard_batch(mesh, batch)
+                state, logs = step_fn(state, sb, rng)
+                step += 1
+                if step % cfg.log_interval == 0:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    dt = (time.perf_counter() - t_last) / cfg.log_interval
+                    t_last = time.perf_counter()
+                    line = dict(step=step, epoch=epoch,
+                                scenes_per_sec=batch_size / dt, **logs)
+                    print(f'step {step} loss {logs["loss"]:.3f} '
+                          f'({batch_size / dt:.1f} scenes/s)')
+                    with open(log_path, 'a') as f:
+                        f.write(json.dumps(line) + '\n')
+                if args.max_steps and step >= args.max_steps:
+                    done = True
+                    break
+            if (epoch + 1) % cfg.checkpoint_interval == 0 or done:
+                ckpt.save_checkpoint(ckpt_dir, jax.device_get(state),
+                                     step=step)
+                print(f'saved checkpoint @ step {step}')
+    print('training complete')
+
+
+if __name__ == '__main__':
+    main()
