@@ -1,0 +1,589 @@
+"""PGD monocular 3D head (FCOS3D family) — module, targets, losses, decode.
+
+Batched, jittable rebuild of the reference's PGDHead
+(/root/reference/mmdet3d/models/dense_heads/pgd_head.py:17), its FCOS3D base
+(fcos_mono3d_head.py:21, anchor_free_mono3d_head.py:15) and coders
+(fcos3d_bbox_coder.py, pgd_bbox_coder.py), configured as in the GGA retrain
+(/root/reference/configs/gga/gga_pdg.py:6-63): 4 FPN levels, 27 regression
+channels (offset 2, depth 1, size 3, rot 1, kpts 16, bbox2d 4), direction
+classifier, probabilistic depth (8 uniform bins, learnable fusion lambda),
+location-aware depth uncertainty (weight_dim 1), 2D/3D consistency (GIoU)
+and keypoint losses.
+
+TPU redesign notes (documented deltas):
+- per-image GT is padded to a static ``max_objs``; FCOS assignment runs as
+  a dense [points, objects] masked argmin instead of python loops;
+- positives are compacted into a static ``pos_budget`` via top-k (positives
+  beyond the budget are dropped — budget defaults far above realistic
+  counts);
+- DCN on the last tower conv is replaced by a regular conv (no deformable
+  conv on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.geometry import corners_3d, limit_period
+from ..layers import conv_init
+
+INF = 1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class PGDConfig:
+    num_classes: int = 3
+    code_size: int = 7
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    regress_ranges: Tuple[Tuple[float, float], ...] = (
+        (-1, 64), (64, 128), (128, 256), (256, 1e8))
+    feat_channels: int = 256
+    stacked_convs: int = 2
+    cls_branch: Tuple[int, ...] = (256,)
+    reg_branch: Tuple[Tuple[int, ...], ...] = (
+        (256,), (256,), (256,), (256,), (256,), (256,))
+    group_reg_dims: Tuple[int, ...] = (2, 1, 3, 1, 16, 4)
+    dir_branch: Tuple[int, ...] = (256,)
+    centerness_branch: Tuple[int, ...] = (256,)
+    depth_branch: Tuple[int, ...] = (256,)
+    weight_dim: int = 1
+    weight_branch: Tuple[Tuple[int, ...], ...] = ((256,),)
+    depth_range: Tuple[float, float] = (0, 70)
+    depth_unit: float = 10
+    depth_bins: int = 8
+    base_depths: Tuple[Tuple[float, float], ...] = ((28.01, 16.32),)
+    base_dims: Tuple[Tuple[float, float, float], ...] = (
+        (0.8, 1.73, 0.6), (1.76, 1.73, 0.6), (3.9, 1.56, 1.6))
+    dir_offset: float = 0.7854
+    centerness_alpha: float = 2.5
+    center_sample_radius: float = 1.5
+    # offset2 + depth1 + size3 + rot1 + kpts16 + bbox2d4 (gga_pdg.py:58)
+    code_weight: Tuple[float, ...] = (
+        1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0) + (0.2,) * 16 + (1.0,) * 4
+    smooth_l1_beta: float = 1.0 / 9.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    depth_loss_alpha: float = 1.0   # UncertainSmoothL1 alpha
+    depth_loss_beta: float = 3.0    # UncertainSmoothL1 beta
+    pos_budget: int = 1024
+    # test cfg (gga_pdg.py:63)
+    nms_pre: int = 100
+    nms_thr: float = 0.05
+    score_thr: float = 0.001
+    max_per_img: int = 20
+
+    @property
+    def kpts_start(self):
+        return 7
+
+    @property
+    def reg_dims_total(self):
+        return sum(self.group_reg_dims)
+
+
+class _Branch(nn.Module):
+    """conv(3x3)+ReLU stack then 1x1 predictor — shared across levels."""
+    channels: Tuple[int, ...]
+    out_dim: int
+    out_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        for i, ch in enumerate(self.channels):
+            x = nn.Conv(ch, (3, 3), padding='SAME', use_bias=True,
+                        kernel_init=conv_init, name=f'conv{i}')(x)
+            x = nn.relu(x)
+        return nn.Conv(self.out_dim, (1, 1), use_bias=True,
+                       kernel_init=conv_init,
+                       bias_init=nn.initializers.constant(
+                           self.out_bias_init), name='out')(x)
+
+
+class _Tower(nn.Module):
+    channels: int
+    num: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num):
+            x = nn.Conv(self.channels, (3, 3), padding='SAME',
+                        use_bias=True, kernel_init=conv_init,
+                        name=f'conv{i}')(x)
+            x = nn.relu(x)
+        return x
+
+
+class PGDHead(nn.Module):
+    """Head over FPN features; decode (scales, priors, exp, tanh) happens
+    inside forward as in the reference coder."""
+    cfg: PGDConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True):
+        c = self.cfg
+        # shared tower/branch weights across levels; per-level scales
+        cls_tower = _Tower(c.feat_channels, c.stacked_convs, name='cls_tower')
+        reg_tower = _Tower(c.feat_channels, c.stacked_convs, name='reg_tower')
+        # cls bias -4.595 = prior prob 0.01 (mmdet bias_init_with_prob)
+        cls_branch = _Branch(c.cls_branch, c.num_classes,
+                             out_bias_init=-4.595, name='cls')
+        reg_branches = [
+            _Branch(branch, dims, name=f'reg{g}')
+            for g, (dims, branch) in enumerate(zip(c.group_reg_dims,
+                                                   c.reg_branch))]
+        dir_branch = _Branch(c.dir_branch, 2, name='dir')
+        depth_branch = _Branch(c.depth_branch, c.depth_bins,
+                               name='depth_cls')
+        weight_branch = _Branch(c.weight_branch[0], c.weight_dim,
+                                name='weight')
+        ctr_branch = _Branch(c.centerness_branch, 1, name='centerness')
+
+        outs = []
+        for lvl, x in enumerate(feats):
+            cls_feat = cls_tower(x)
+            reg_feat = reg_tower(x)
+            cls_score = cls_branch(cls_feat)
+            bbox_pred = jnp.concatenate(
+                [rb(reg_feat) for rb in reg_branches], axis=-1)
+            dir_pred = dir_branch(reg_feat)
+            depth_cls = depth_branch(reg_feat)
+            weight = weight_branch(reg_feat)
+            centerness = ctr_branch(reg_feat)
+
+            # --- decode (fcos3d_bbox_coder.decode + pgd decode_2d) ---
+            scales = self.param(f'scales_lvl{lvl}', nn.initializers.ones,
+                                (5,))
+            off = bbox_pred[..., 0:2] * scales[0]
+            depth_direct = bbox_pred[..., 2:3] * scales[1]
+            mean, std = c.base_depths[0]
+            depth_direct = mean + depth_direct * std
+            size = jnp.exp(bbox_pred[..., 3:6] * scales[2])
+            cls_ind = jnp.argmax(cls_score, axis=-1)
+            priors = jnp.asarray(c.base_dims, jnp.float32)[cls_ind]
+            size = size * priors
+            rot = bbox_pred[..., 6:7]
+            kpts = jnp.tanh(bbox_pred[..., 7:23] * scales[3])
+            bbox2d = jax.nn.relu(bbox_pred[..., 23:27] * scales[4])
+            decoded = jnp.concatenate(
+                [off, depth_direct, size, rot, kpts, bbox2d], axis=-1)
+
+            outs.append(dict(cls_score=cls_score, bbox_pred=decoded,
+                             dir_pred=dir_pred, depth_cls=depth_cls,
+                             weight=weight, centerness=centerness))
+        fuse_lambda = self.param('fuse_lambda',
+                                 nn.initializers.constant(1e-4), ())
+        return outs, fuse_lambda
+
+
+def level_points(cfg: PGDConfig, featmap_sizes):
+    """Per-level pixel centers [(Hi*Wi, 2)] (anchor_free get_points)."""
+    pts = []
+    for (h, w), s in zip(featmap_sizes, cfg.strides):
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        yy, xx = jnp.meshgrid(ys, xs, indexing='ij')
+        pts.append(jnp.stack([xx.reshape(-1) * s, yy.reshape(-1) * s], -1)
+                   + s // 2)
+    return pts
+
+
+def build_targets(cfg: PGDConfig, points, strides_flat, regress_flat,
+                  gt_bboxes, gt_labels, gt_cam3d, centers2d, depths,
+                  obj_valid):
+    """Vectorized FCOS-mono target assignment for one image
+    (fcos_mono3d_head._get_target_single:852 + pgd get_targets:1111).
+
+    Args:
+        points: [Np, 2] all-level pixel centers.
+        strides_flat: [Np] per-point stride.
+        regress_flat: [Np, 2] per-point regress range.
+        gt_bboxes: [M, 4]; gt_labels: [M]; gt_cam3d: [M, 7] camera boxes
+            (gravity-center origin (.5, .5, .5)); centers2d: [M, 2];
+        depths: [M]; obj_valid: [M] bool.
+
+    Returns dict: labels_3d [Np], bbox_targets_3d [Np, 27] (normalized),
+        centerness [Np], pos_mask [Np].
+    """
+    Np = points.shape[0]
+    # local yaw
+    local_yaw = (-jnp.arctan2(gt_cam3d[:, 0], gt_cam3d[:, 2])
+                 + gt_cam3d[:, 6])
+    xs = points[:, 0:1]                       # [Np, 1]
+    ys = points[:, 1:2]
+
+    delta_x = xs - centers2d[None, :, 0]      # [Np, M]
+    delta_y = ys - centers2d[None, :, 1]
+
+    left = xs - gt_bboxes[None, :, 0]
+    right = gt_bboxes[None, :, 2] - xs
+    top = ys - gt_bboxes[None, :, 1]
+    bottom = gt_bboxes[None, :, 3] - ys
+    ltrb = jnp.stack([left, top, right, bottom], -1)  # [Np, M, 4]
+
+    radius = cfg.center_sample_radius
+    cs = strides_flat[:, None] * radius
+    inside_center = ((jnp.abs(delta_x) < cs) & (jnp.abs(delta_y) < cs)
+                     & (xs > centers2d[None, :, 0] - cs)
+                     & (xs < centers2d[None, :, 0] + cs)
+                     & (ys > centers2d[None, :, 1] - cs)
+                     & (ys < centers2d[None, :, 1] + cs))
+    max_reg = ltrb.max(-1)
+    inside_range = ((max_reg >= regress_flat[:, 0:1])
+                    & (max_reg <= regress_flat[:, 1:2]))
+
+    dists = jnp.sqrt(delta_x ** 2 + delta_y ** 2)
+    dists = jnp.where(inside_center & inside_range & obj_valid[None, :],
+                      dists, INF)
+    min_dist = dists.min(axis=1)
+    amin = dists.argmin(axis=1)
+    pos_mask = min_dist < INF
+
+    labels_3d = jnp.where(pos_mask, gt_labels[amin], cfg.num_classes)
+    tx = jnp.take_along_axis(delta_x, amin[:, None], 1)[:, 0]
+    ty = jnp.take_along_axis(delta_y, amin[:, None], 1)[:, 0]
+    tdepth = depths[amin]
+    tdims = gt_cam3d[amin][:, 3:6]
+    tyaw = local_yaw[amin]
+    tltrb = jnp.take_along_axis(
+        ltrb, amin[:, None, None], 1)[:, 0, :]
+    # normalization (norm_on_bbox): offsets and bbox2d divided by stride
+    s = strides_flat
+    bbox_targets_3d = jnp.concatenate([
+        (tx / s)[:, None], (ty / s)[:, None], tdepth[:, None], tdims,
+        tyaw[:, None], tltrb / s[:, None]], axis=-1)
+
+    rel = jnp.sqrt(tx ** 2 + ty ** 2) / (1.414 * s)
+    centerness = jnp.exp(-cfg.centerness_alpha * rel)
+    return dict(labels_3d=labels_3d, bbox_targets_3d=bbox_targets_3d,
+                centerness=centerness, pos_mask=pos_mask, amin=amin)
+
+
+def decode_prob_depth(cfg: PGDConfig, depth_cls):
+    """Uniform-division probabilistic depth (pgd_bbox_coder:74)."""
+    mult = cfg.depth_unit * jnp.arange(cfg.depth_bins, dtype=jnp.float32)
+    return (jax.nn.softmax(depth_cls, axis=-1) * mult).sum(-1)
+
+
+def _smooth_l1(pred, target, beta):
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                     diff - 0.5 * beta)
+
+
+def _focal_loss(logits, labels, num_classes, gamma, alpha):
+    """Sigmoid focal loss; labels == num_classes means background."""
+    onehot = jax.nn.one_hot(labels, num_classes)
+    p = jax.nn.sigmoid(logits)
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    w = alpha * onehot + (1 - alpha) * (1 - onehot)
+    ce = -(onehot * jax.nn.log_sigmoid(logits)
+           + (1 - onehot) * jax.nn.log_sigmoid(-logits))
+    return (w * ((1 - pt) ** gamma) * ce).sum(-1)
+
+
+def _points_img2cam(points, cam2img_inv_t):
+    """[N, 3] (u, v, depth) -> camera xyz (structures/utils:218)."""
+    xys = points[:, :2] * points[:, 2:3]
+    hom = jnp.concatenate(
+        [xys, points[:, 2:3], jnp.ones_like(points[:, :1])], -1)
+    out = hom @ cam2img_inv_t
+    return out[:, :3]
+
+
+def _corners_cam(boxes7):
+    """Camera boxes w/ gravity-center origin (.5,.5,.5), yaw about y."""
+    return corners_3d(boxes7[:, :3], boxes7[:, 3:6], boxes7[:, 6],
+                      origin=(0.5, 0.5, 0.5), axis=1)
+
+
+def _project(pts3, cam2img):
+    hom = jnp.concatenate([pts3, jnp.ones_like(pts3[..., :1])], -1)
+    img = jnp.einsum('ij,...j->...i', cam2img, hom,
+                     precision=jax.lax.Precision.HIGHEST)
+    return img[..., :2] / jnp.maximum(img[..., 2:3], 1e-5)
+
+
+def loss(cfg: PGDConfig, preds, fuse_lambda, targets_per_image, cam2img,
+         featmap_sizes):
+    """Full PGD loss for a batch (pgd_head.loss:526).
+
+    Args:
+        preds: list over levels of head-output dicts (NHWC).
+        targets_per_image: dict of stacked target arrays from
+            ``build_targets`` vmapped over the batch:
+            labels_3d [B, Np], bbox_targets_3d [B, Np, 27],
+            centerness [B, Np], pos_mask [B, Np].
+        cam2img: [B, 4, 4] intrinsics.
+
+    Returns (total, logs).
+    """
+    B = preds[0]['cls_score'].shape[0]
+    pts = level_points(cfg, featmap_sizes)
+    strides_flat = jnp.concatenate([
+        jnp.full((p.shape[0],), s, jnp.float32)
+        for p, s in zip(pts, cfg.strides)])
+    points_flat = jnp.concatenate(pts)                    # [Np, 2]
+
+    def flat(key, ch):
+        return jnp.concatenate([
+            p[key].reshape(B, -1, ch) for p in preds], axis=1)
+
+    cls_scores = flat('cls_score', cfg.num_classes)       # [B, Np, C]
+    bbox_preds = flat('bbox_pred', cfg.reg_dims_total)
+    dir_preds = flat('dir_pred', 2)
+    depth_cls = flat('depth_cls', cfg.depth_bins)
+    weights = flat('weight', cfg.weight_dim)
+    centerness = flat('centerness', 1)[..., 0]
+
+    labels = targets_per_image['labels_3d']               # [B, Np]
+    bt = targets_per_image['bbox_targets_3d']             # [B, Np, 27]
+    ct = targets_per_image['centerness']
+    pos = targets_per_image['pos_mask'].astype(jnp.float32)
+    num_pos = pos.sum()
+    avg = jnp.maximum(num_pos, 1.0)
+
+    logs = {}
+    loss_cls = (_focal_loss(cls_scores, labels, cfg.num_classes,
+                            cfg.focal_gamma, cfg.focal_alpha)).sum() / (
+                                num_pos + B)
+    logs['loss_cls'] = loss_cls
+
+    cw = jnp.asarray(cfg.code_weight, jnp.float32)
+    w = pos[..., None] * cw
+
+    # diff_rad_by_sin on the rot channel
+    rot_p = jnp.sin(bbox_preds[..., 6]) * jnp.cos(bt[..., 6])
+    rot_t = jnp.cos(bbox_preds[..., 6]) * jnp.sin(bt[..., 6])
+
+    def sl1(p, t, wslice):
+        return (_smooth_l1(p, t, cfg.smooth_l1_beta) * wslice).sum() / avg
+
+    logs['loss_offset'] = sl1(bbox_preds[..., :2], bt[..., :2], w[..., :2])
+    logs['loss_size'] = sl1(bbox_preds[..., 3:6], bt[..., 3:6],
+                            w[..., 3:6])
+    logs['loss_rotsin'] = sl1(rot_p, rot_t, w[..., 6])
+
+    # direction classification
+    offset_rot = limit_period(bt[..., 6] - cfg.dir_offset, 0.0,
+                              2 * np.pi)
+    dir_t = jnp.clip(jnp.floor(offset_rot / np.pi).astype(jnp.int32), 0, 1)
+    dir_ce = -jnp.take_along_axis(jax.nn.log_softmax(dir_preds, -1),
+                                  dir_t[..., None], -1)[..., 0]
+    logs['loss_dir'] = (dir_ce * pos).sum() / avg
+
+    # fused depth with uncertainty
+    sig_a = jax.nn.sigmoid(fuse_lambda)
+    prob_depth = decode_prob_depth(cfg, depth_cls)
+    fused = sig_a * bbox_preds[..., 2] + (1 - sig_a) * prob_depth
+    sigma = weights[..., 0]
+    udl = (jnp.exp(-sigma)
+           * _smooth_l1(fused, bt[..., 2], cfg.depth_loss_beta)
+           + cfg.depth_loss_alpha * sigma)
+    logs['loss_depth'] = (udl * w[..., 2]).sum() / avg
+
+    # keypoints + bbox2d + consistency need projected corners
+    # strided (un-normalized) offsets/bbox2d
+    # NOTE: target layout is 11-dim [dx, dy, depth, dims3, yaw, ltrb4]
+    # (pgd get_targets appends the 2D ltrb at the END of the code_size-7
+    # vector) while predictions carry 27 channels incl. keypoints.
+    sp = bbox_preds.at[..., :2].multiply(strides_flat[None, :, None])
+    sp = sp.at[..., 23:27].multiply(strides_flat[None, :, None])
+    st = bt.at[..., :2].multiply(strides_flat[None, :, None])
+    st = st.at[..., 7:11].multiply(strides_flat[None, :, None])
+
+    centers2d_pred = points_flat[None] - sp[..., :2]      # [B, Np, 2]
+    centers2d_tgt = points_flat[None] - st[..., :2]
+
+    inv_t = jnp.linalg.inv(cam2img).transpose(0, 2, 1)    # [B, 4, 4]
+
+    def img2cam(uvd, inv_t_b):
+        xys = uvd[..., :2] * uvd[..., 2:3]
+        hom = jnp.concatenate([xys, uvd[..., 2:3],
+                               jnp.ones_like(uvd[..., :1])], -1)
+        return jnp.einsum('bnj,bjk->bnk', hom, inv_t_b,
+                          precision=jax.lax.Precision.HIGHEST)[..., :3]
+
+    # depth fixed to target depth for re-projection (pgd_head.py:398)
+    uvd_pred = jnp.concatenate([centers2d_pred, st[..., 2:3]], -1)
+    uvd_tgt = jnp.concatenate([centers2d_tgt, st[..., 2:3]], -1)
+    c3d_pred = img2cam(uvd_pred, inv_t)
+    c3d_tgt = img2cam(uvd_tgt, inv_t)
+
+    # decode yaw: local->global using predicted dir class / target yaw
+    dir_score = jnp.argmax(dir_preds, -1).astype(jnp.float32)
+    yaw_p = limit_period(sp[..., 6] - cfg.dir_offset, 0.0, np.pi) \
+        + cfg.dir_offset + np.pi * dir_score
+    ray = jnp.arctan2(
+        centers2d_pred[..., 0] - cam2img[:, None, 0, 2],
+        cam2img[:, None, 0, 0])
+    ray_t = jnp.arctan2(
+        centers2d_tgt[..., 0] - cam2img[:, None, 0, 2],
+        cam2img[:, None, 0, 0])
+    yaw_p = ray + yaw_p
+    yaw_t = ray_t + st[..., 6]
+
+    boxes_p = jnp.concatenate([c3d_pred, sp[..., 3:6], yaw_p[..., None]],
+                              -1)
+    boxes_t = jnp.concatenate([c3d_tgt, st[..., 3:6], yaw_t[..., None]],
+                              -1)
+    Np = boxes_p.shape[1]
+    corners_p = _corners_cam(boxes_p.reshape(-1, 7)).reshape(B, Np, 8, 3)
+    corners_t = _corners_cam(boxes_t.reshape(-1, 7)).reshape(B, Np, 8, 3)
+    pix_p = jax.vmap(lambda c, m: _project(c, m))(corners_p, cam2img)
+    pix_t = jax.vmap(lambda c, m: _project(c, m))(corners_t, cam2img)
+
+    # keypoint targets: projected GT corners normalized by regress range
+    norm_strides = strides_flat * cfg.regress_ranges[0][1] / cfg.strides[0]
+    kpts_t = ((pix_t - points_flat[None, :, None, :])
+              .reshape(B, Np, 16) / norm_strides[None, :, None])
+    logs['loss_kpts'] = sl1(bbox_preds[..., 7:23], kpts_t, w[..., 7:23])
+
+    # bbox2d loss
+    logs['loss_bbox2d'] = sl1(bbox_preds[..., 23:27], bt[..., 7:11],
+                              w[..., 23:27])
+
+    # consistency (GIoU between projected-3D box and predicted 2D box)
+    proj2d = jnp.concatenate([pix_p.min(axis=2), pix_p.max(axis=2)], -1)
+    l, t_, r, b_ = (sp[..., 23], sp[..., 24], sp[..., 25], sp[..., 26])
+    pred2d = jnp.stack([points_flat[None, :, 0] - l,
+                        points_flat[None, :, 1] - t_,
+                        points_flat[None, :, 0] + r,
+                        points_flat[None, :, 1] + b_], -1)
+    giou = _giou(proj2d, pred2d)
+    logs['loss_consistency'] = ((1 - giou)
+                                * w[..., 23:27].mean(-1)).sum() / avg
+
+    # centerness BCE (mean over positives)
+    bce = -(ct * jax.nn.log_sigmoid(centerness)
+            + (1 - ct) * jax.nn.log_sigmoid(-centerness))
+    logs['loss_centerness'] = (bce * pos).sum() / avg
+
+    total = sum(logs.values())
+    logs = dict(logs)
+    logs['loss'] = total
+    logs['num_pos'] = num_pos
+    return total, logs
+
+
+def _giou(a, b, eps=1e-7):
+    """GIoU of [..., 4] xyxy boxes."""
+    ax1, ay1, ax2, ay2 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx1, by1, bx2, by2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    inter = (jnp.clip(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0)
+             * jnp.clip(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0))
+    area_a = jnp.clip(ax2 - ax1, 0) * jnp.clip(ay2 - ay1, 0)
+    area_b = jnp.clip(bx2 - bx1, 0) * jnp.clip(by2 - by1, 0)
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, eps)
+    hull = ((jnp.maximum(ax2, bx2) - jnp.minimum(ax1, bx1))
+            * (jnp.maximum(ay2, by2) - jnp.minimum(ay1, by1)))
+    return iou - (hull - union) / jnp.maximum(hull, eps)
+
+
+def decode(cfg: PGDConfig, preds, fuse_lambda, cam2img, featmap_sizes):
+    """Inference decode -> camera boxes + scores (pgd _get_bboxes_single,
+    static top-K + per-class rotated NMS via core.nms).
+
+    Returns dict: boxes [B, K, 7] camera (gravity-center origin .5,.5,.5),
+    scores [B, K], labels [B, K], valid [B, K], bboxes2d [B, K, 4].
+    """
+    from ...core.nms import nms_bev
+
+    B = preds[0]['cls_score'].shape[0]
+    pts = level_points(cfg, featmap_sizes)
+    strides_flat = jnp.concatenate([
+        jnp.full((p.shape[0],), s, jnp.float32)
+        for p, s in zip(pts, cfg.strides)])
+    points_flat = jnp.concatenate(pts)
+
+    def flat(key, ch):
+        return jnp.concatenate(
+            [p[key].reshape(B, -1, ch) for p in preds], axis=1)
+
+    scores = jax.nn.sigmoid(flat('cls_score', cfg.num_classes))
+    bbox = flat('bbox_pred', cfg.reg_dims_total)
+    dirp = flat('dir_pred', 2)
+    depth_cls = flat('depth_cls', cfg.depth_bins)
+    weight = flat('weight', cfg.weight_dim)
+    centerness = jax.nn.sigmoid(flat('centerness', 1)[..., 0])
+
+    # test-time denorm: offsets & bbox2d were left stride-normalized
+    bbox = bbox.at[..., :2].multiply(strides_flat[None, :, None])
+    bbox = bbox.at[..., 23:27].multiply(strides_flat[None, :, None])
+    max_rr = (strides_flat * cfg.regress_ranges[0][1]
+              / cfg.strides[0])
+    bbox = bbox.at[..., 7:23].multiply(max_rr[None, :, None])
+
+    depth_conf = jax.nn.softmax(depth_cls, -1).max(-1)
+    depth_unc = jnp.exp(-weight[..., -1])
+    merged = (scores * centerness[..., None] * depth_conf[..., None]
+              * depth_unc[..., None])
+
+    sig_a = jax.nn.sigmoid(fuse_lambda)
+    fused_depth = (sig_a * bbox[..., 2]
+                   + (1 - sig_a) * decode_prob_depth(cfg, depth_cls))
+
+    centers2d = points_flat[None] - bbox[..., :2]
+    inv_t = jnp.linalg.inv(cam2img).transpose(0, 2, 1)
+    uvd = jnp.concatenate([centers2d, fused_depth[..., None]], -1)
+    xys = uvd[..., :2] * uvd[..., 2:3]
+    hom = jnp.concatenate([xys, uvd[..., 2:3],
+                           jnp.ones_like(uvd[..., :1])], -1)
+    c3d = jnp.einsum('bnj,bjk->bnk', hom, inv_t,
+                     precision=jax.lax.Precision.HIGHEST)[..., :3]
+
+    dir_score = jnp.argmax(dirp, -1).astype(jnp.float32)
+    yaw = (limit_period(bbox[..., 6] - cfg.dir_offset, 0.0, np.pi)
+           + cfg.dir_offset + np.pi * dir_score)
+    yaw = yaw + jnp.arctan2(centers2d[..., 0] - cam2img[:, None, 0, 2],
+                            cam2img[:, None, 0, 0])
+    boxes_cam = jnp.concatenate([c3d, bbox[..., 3:6], yaw[..., None]], -1)
+
+    # top nms_pre by merged score then per-class NMS in pseudo-BEV
+    K = cfg.nms_pre
+    top_scores, top_idx = jax.lax.top_k(merged.max(-1), K)
+
+    def gather(x):
+        return jnp.take_along_axis(
+            x, top_idx.reshape(B, K, *([1] * (x.ndim - 2))), axis=1)
+
+    boxes_k = gather(boxes_cam)
+    merged_k = gather(merged)
+    bbox2d_l = points_flat[None, :, 0] - bbox[..., 23]
+    bbox2d_t = points_flat[None, :, 1] - bbox[..., 24]
+    bbox2d_r = points_flat[None, :, 0] + bbox[..., 25]
+    bbox2d_b = points_flat[None, :, 1] + bbox[..., 26]
+    bboxes2d = gather(jnp.stack(
+        [bbox2d_l, bbox2d_t, bbox2d_r, bbox2d_b], -1))
+
+    # per-class rotated NMS in the camera x-z plane
+    outs = []
+    for c in range(cfg.num_classes):
+        sc = merged_k[..., c]
+        bev = jnp.stack([boxes_k[..., 0], boxes_k[..., 2],
+                         boxes_k[..., 3], boxes_k[..., 5],
+                         -boxes_k[..., 6]], -1)
+
+        def one(bev_i, sc_i, boxes_i, b2d_i):
+            idx, keep = nms_bev(bev_i, sc_i, cfg.nms_thr,
+                                post_max_size=cfg.max_per_img,
+                                valid=sc_i > cfg.score_thr)
+            safe = jnp.maximum(idx, 0)
+            return (boxes_i[safe], jnp.where(idx >= 0, sc_i[safe], 0.0),
+                    idx >= 0, b2d_i[safe])
+
+        b, s, v, b2 = jax.vmap(one)(bev, sc, boxes_k, bboxes2d)
+        outs.append((b, s, jnp.full(s.shape, c, jnp.int32), v, b2))
+
+    boxes = jnp.concatenate([o[0] for o in outs], axis=1)
+    scores_o = jnp.concatenate([o[1] for o in outs], axis=1)
+    labels = jnp.concatenate([o[2] for o in outs], axis=1)
+    valid = jnp.concatenate([o[3] for o in outs], axis=1)
+    b2d = jnp.concatenate([o[4] for o in outs], axis=1)
+    return dict(boxes=boxes, scores=scores_o, labels=labels, valid=valid,
+                bboxes2d=b2d)
