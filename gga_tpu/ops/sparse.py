@@ -215,3 +215,123 @@ def to_dense(st: SparseTensor):
     dense = dense.at[z, y, x].set(
         jnp.where(st.valid[:, None], st.features, 0.0))
     return dense[:nz].transpose(3, 0, 1, 2)
+
+
+def sparse_max_pool(st: SparseTensor, kernel_size=(2, 2, 2),
+                    stride=(2, 2, 2), out_budget=None):
+    """Max pooling over sparse neighborhoods (MinkowskiMaxPooling
+    equivalent, consumed by MinkResNet — mink_resnet.py:56)."""
+    if out_budget is None:
+        out_budget = st.features.shape[0]
+    out_coords, out_valid, out_grid = downsample_coords(
+        st, kernel_size, stride, (0, 0, 0), out_budget)
+    gathered = gather_neighbors(
+        SparseTensor(st.features, st.coords, st.valid, st.grid),
+        out_coords, out_valid, kernel_size, stride, (0, 0, 0))  # [K, Q, C]
+    neg = jnp.finfo(st.features.dtype).min
+    # inactive neighbors gathered as exact 0; mask via a parallel gather of
+    # ones to distinguish true zeros from misses
+    ones = SparseTensor(jnp.ones_like(st.features[:, :1]), st.coords,
+                        st.valid, st.grid)
+    hit = gather_neighbors(ones, out_coords, out_valid, kernel_size,
+                           stride, (0, 0, 0))[..., 0] > 0
+    g = jnp.where(hit[..., None], gathered, neg)
+    out = g.max(axis=0)
+    out = jnp.where(hit.any(axis=0)[:, None] & out_valid[:, None], out, 0.0)
+    return SparseTensor(features=out, coords=out_coords, valid=out_valid,
+                        grid=out_grid)
+
+
+def generative_transpose_conv(st: SparseTensor, weights, out_budget=None):
+    """Generative transposed conv, kernel 2 stride 2
+    (MinkowskiGenerativeConvolutionTranspose in FCAF3D's up blocks,
+    fcaf3d_head.py:96-113): every input site generates its 8 children on
+    the doubled grid; children of distinct inputs never collide
+    (kernel == stride), so out[c*2 + off] = in[c] @ W[off].
+
+    Args:
+        weights: [8, Cin, Cout] (offset order row-major over (z, y, x)).
+
+    Returns:
+        SparseTensor on the doubled grid, sorted, budget = 8N (or given).
+    """
+    N, Cin = st.features.shape
+    Cout = weights.shape[-1]
+    if out_budget is None:
+        out_budget = 8 * N
+    nz, ny, nx = st.grid
+    out_grid = (nz * 2, ny * 2, nx * 2)
+    offs = _kernel_offsets((2, 2, 2))  # [8, 3]
+
+    child_coords = (st.coords[None, :, :] * 2
+                    + jnp.asarray(offs, jnp.int32)[:, None, :])  # [8, N, 3]
+    child_feats = jnp.einsum('nc,kcd->knd', st.features, weights,
+                             preferred_element_type=jnp.float32)
+    child_valid = jnp.broadcast_to(st.valid[None, :], (8, N))
+
+    cc = child_coords.reshape(-1, 3)
+    cf = child_feats.reshape(-1, Cout).astype(st.features.dtype)
+    cv = child_valid.reshape(-1)
+    # sort by linear id to restore the invariant
+    lin, big = _linearize(cc, cv, out_grid)
+    order = jnp.argsort(lin)
+    cc, cf, cv = cc[order], cf[order], cv[order]
+    if out_budget < 8 * N:
+        cc, cf, cv = cc[:out_budget], cf[:out_budget], cv[:out_budget]
+    elif out_budget > 8 * N:
+        pad = out_budget - 8 * N
+        cc = jnp.concatenate([cc, -jnp.ones((pad, 3), cc.dtype)])
+        cf = jnp.concatenate([cf, jnp.zeros((pad, Cout), cf.dtype)])
+        cv = jnp.concatenate([cv, jnp.zeros((pad,), bool)])
+    cc = jnp.where(cv[:, None], cc, -1)
+    return SparseTensor(features=cf, coords=cc, valid=cv, grid=out_grid)
+
+
+def sparse_add(a: SparseTensor, b: SparseTensor, out_budget):
+    """Union-merge two sparse tensors on the same grid, summing features at
+    shared sites (MinkowskiEngine ``a + b`` semantics in FCAF3D's top-down
+    pathway, fcaf3d_head.py:166)."""
+    assert a.grid == b.grid
+    C = a.features.shape[-1]
+    coords = jnp.concatenate([a.coords, b.coords])
+    feats = jnp.concatenate([a.features, b.features])
+    valid = jnp.concatenate([a.valid, b.valid])
+    lin, big = _linearize(coords, valid, a.grid)
+    order = jnp.argsort(lin)
+    lin_s, feats_s, coords_s, valid_s = (lin[order], feats[order],
+                                         coords[order], valid[order])
+    prev = jnp.concatenate([jnp.full((1,), -1, lin_s.dtype), lin_s[:-1]])
+    newv = (lin_s != prev) & valid_s
+    slot = jnp.cumsum(newv.astype(jnp.int32)) - 1
+    slot = jnp.where(valid_s & (slot < out_budget), slot, out_budget)
+    out_f = jnp.zeros((out_budget + 1, C), feats.dtype).at[slot].add(
+        jnp.where(valid_s[:, None], feats_s, 0.0))
+    out_c = jnp.full((out_budget + 1, 3), -1, jnp.int32).at[slot].set(
+        coords_s)
+    out_v = jnp.zeros((out_budget + 1,), bool).at[slot].set(valid_s)
+    return SparseTensor(features=out_f[:out_budget],
+                        coords=out_c[:out_budget],
+                        valid=out_v[:out_budget], grid=a.grid)
+
+
+def lookup_features(st: SparseTensor, query_coords, query_valid):
+    """Gather features at exact coordinates ([Q, C]; zeros on miss).
+    Nearest-site stand-in for ME's features_at_coordinates used by FCAF3D
+    pruning (fcaf3d_head.py:225)."""
+    g = gather_neighbors(st, query_coords, query_valid, (1, 1, 1),
+                         (1, 1, 1), (0, 0, 0))
+    return g[0]
+
+
+def topk_prune(st: SparseTensor, scores, k_budget):
+    """Keep the k_budget highest-scoring active sites (MinkowskiPruning +
+    per-sample topk, fcaf3d_head.py:212-236), re-sorted by coordinate."""
+    s = jnp.where(st.valid, scores, -jnp.inf)
+    _, idx = jax.lax.top_k(s, min(k_budget, s.shape[0]))
+    keep_valid = jnp.isfinite(jnp.take(s, idx))
+    coords = st.coords[idx]
+    feats = st.features[idx]
+    lin, big = _linearize(coords, keep_valid, st.grid)
+    order = jnp.argsort(lin)
+    return SparseTensor(features=feats[order], coords=coords[order],
+                        valid=keep_valid[order], grid=st.grid)
