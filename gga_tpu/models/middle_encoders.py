@@ -49,22 +49,35 @@ class SparseEncoder(nn.Module):
         x, c, v, g = SparseConvBlock(self.base_channels, 'subm')(
             feats, coords, valid, grid, train)
 
-        assert self.block_type == 'basicblock', 'conv_module TBD'
+        assert self.block_type in ('basicblock', 'conv_module')
         num_stages = len(self.encoder_channels)
         for i, blocks in enumerate(self.encoder_channels):
             for j, out_ch in enumerate(blocks):
                 pad = self.encoder_paddings[i][j]
-                is_down = (j == len(blocks) - 1) and (i != num_stages - 1)
-                if is_down:
-                    pad3 = tuple(pad) if isinstance(pad, (tuple, list)) \
-                        else (pad,) * 3
-                    x, c, v, g = SparseConvBlock(
-                        out_ch, 'spconv', kernel_size=(3, 3, 3),
-                        stride=(2, 2, 2), padding=pad3,
-                        out_budget=self.stage_budgets[i])(
+                pad3 = tuple(pad) if isinstance(pad, (tuple, list)) \
+                    else (pad,) * 3
+                if self.block_type == 'basicblock':
+                    is_down = (j == len(blocks) - 1) \
+                        and (i != num_stages - 1)
+                    if is_down:
+                        x, c, v, g = SparseConvBlock(
+                            out_ch, 'spconv', kernel_size=(3, 3, 3),
+                            stride=(2, 2, 2), padding=pad3,
+                            out_budget=self.stage_budgets[i])(
+                                x, c, v, g, train)
+                    else:
+                        x = SparseBasicBlock(out_ch)(x, c, v, g, train)
+                else:  # conv_module (sparse_encoder.make_encoder_layers)
+                    is_down = (i != 0 and j == 0)
+                    if is_down:
+                        x, c, v, g = SparseConvBlock(
+                            out_ch, 'spconv', kernel_size=(3, 3, 3),
+                            stride=(2, 2, 2), padding=pad3,
+                            out_budget=self.stage_budgets[i - 1])(
+                                x, c, v, g, train)
+                    else:
+                        x, c, v, g = SparseConvBlock(out_ch, 'subm')(
                             x, c, v, g, train)
-                else:
-                    x = SparseBasicBlock(out_ch)(x, c, v, g, train)
 
         x, c, v, g = SparseConvBlock(
             self.output_channels, 'spconv', kernel_size=(3, 1, 1),
