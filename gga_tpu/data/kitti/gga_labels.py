@@ -187,7 +187,11 @@ def calculate_ground(points_cam, thresh_ransac=0.15, rng=None,
 
 def region_grow(pc, mask_search, mask_origin, thresh, ratio=0.8):
     """Largest pure cluster grown from the origin mask
-    (utils_gga.region_grow:6), wave-vectorized.
+    (utils_gga.region_grow:6).
+
+    Dispatches to the native C++ spatial-hash BFS (native/gga_native.cpp,
+    ~1000x the python BFS) when built; falls back to the wave-vectorized
+    numpy implementation below.
 
     Args:
         pc: [N, 3] points (camera frame in the GGA pipeline).
@@ -200,6 +204,11 @@ def region_grow(pc, mask_search, mask_origin, thresh, ratio=0.8):
     Returns:
         [N] {0,1}: best cluster ∩ origin (ratio mode) or best cluster.
     """
+    from .native import region_grow_native
+    out = region_grow_native(pc, mask_search, mask_origin, thresh, ratio)
+    if out is not None:
+        return out
+
     search_idx = np.where(mask_search == 1)[0]
     pc_search = pc[search_idx]
     origin_in_search = mask_origin[search_idx] == 1
