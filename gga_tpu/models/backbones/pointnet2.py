@@ -1,0 +1,142 @@
+"""PointNet++ single-scale-grouping backbone.
+
+Rebuild of PointNet2SASSG
+(/root/reference/mmdet3d/models/backbones/pointnet2_sa_ssg.py) on the
+jittable point ops: 4 set-abstraction layers (FPS -> ball query -> shared
+MLP -> max pool, normalize_xyz) and 2 feature-propagation layers (three-NN
+inverse-distance interpolation + MLP).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops import points as po
+from ..layers import MaskedBatchNorm, conv_init
+
+
+class SharedMLP(nn.Module):
+    channels: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x, valid, train):
+        """x: [..., C]; valid: broadcastable mask over leading dims."""
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, use_bias=False, kernel_init=conv_init,
+                         name=f'fc{i}')(x)
+            x = MaskedBatchNorm(name=f'bn{i}')(x, valid, train)
+            x = nn.relu(x)
+        return x
+
+
+class PointSAModule(nn.Module):
+    """Set abstraction (mmdet3d PointSAModule, pool max, use_xyz,
+    normalize_xyz)."""
+    num_point: int
+    radius: float
+    num_sample: int
+    mlp_channels: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, xyz, features, valid, train, target_xyz=None,
+                 target_valid=None):
+        """xyz [B, N, 3]; features [B, N, C] or None; valid [B, N].
+
+        Returns (new_xyz [B, S, 3], new_feats [B, S, C'], new_valid
+        [B, S])."""
+        if target_xyz is None:
+            idx = jax.vmap(lambda p, v: po.furthest_point_sample(
+                p, v, self.num_point))(xyz, valid)
+            new_xyz = jnp.take_along_axis(xyz, idx[..., None], 1)
+            new_valid = jnp.take_along_axis(valid, idx, 1)
+        else:
+            new_xyz, new_valid = target_xyz, target_valid
+
+        def group(p, f, v, c):
+            if f is None:
+                out, mask = po.query_and_group(p, None, c, self.radius,
+                                               self.num_sample, p_valid=v)
+                rel = out
+                feats = None
+            else:
+                out, mask = po.query_and_group(p, f, c, self.radius,
+                                               self.num_sample, p_valid=v)
+                rel, feats = out[..., :3], out[..., 3:]
+            rel = rel / self.radius  # normalize_xyz
+            return (rel if feats is None
+                    else jnp.concatenate([rel, feats], -1)), mask
+
+        if features is None:
+            grouped, mask = jax.vmap(
+                lambda p, v, c: group(p, None, v, c))(xyz, valid, new_xyz)
+        else:
+            grouped, mask = jax.vmap(group)(xyz, features, valid, new_xyz)
+
+        g = SharedMLP(self.mlp_channels)(grouped, mask, train)
+        neg = jnp.finfo(g.dtype).min
+        pooled = jnp.where(mask[..., None], g, neg).max(axis=-2)
+        pooled = jnp.where((mask.any(-1) & new_valid)[..., None], pooled,
+                           0.0)
+        return new_xyz, pooled, new_valid
+
+
+class PointFPModule(nn.Module):
+    """Feature propagation (three-NN interpolate + MLP)."""
+    mlp_channels: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, target_xyz, target_feats, source_xyz, source_feats,
+                 source_valid, target_valid, train):
+        def interp(tq, sx, sf, sv):
+            d, idx = po.three_nn(tq, sx, s_valid=sv)
+            return po.three_interpolate(sf, idx, d)
+
+        up = jax.vmap(interp)(target_xyz, source_xyz, source_feats,
+                              source_valid)
+        if target_feats is not None:
+            up = jnp.concatenate([up, target_feats], -1)
+        return SharedMLP(self.mlp_channels)(up, target_valid, train)
+
+
+class PointNet2SASSG(nn.Module):
+    in_channels: int = 4
+    num_points: Tuple[int, ...] = (2048, 1024, 512, 256)
+    radii: Tuple[float, ...] = (0.2, 0.4, 0.8, 1.2)
+    num_samples: Tuple[int, ...] = (64, 32, 16, 16)
+    sa_channels: Sequence[Tuple[int, ...]] = (
+        (64, 64, 128), (128, 128, 256), (128, 128, 256), (128, 128, 256))
+    fp_channels: Sequence[Tuple[int, ...]] = ((256, 256), (256, 256))
+
+    @nn.compact
+    def __call__(self, points, valid, train: bool = True):
+        """points [B, P, in_channels] (xyz + features); valid [B, P].
+
+        Returns dict: fp_xyz/fp_features/fp_valid (last FP level) plus
+        sa_xyz/sa_features lists (for the vote head's seed points).
+        """
+        xyz = points[..., :3]
+        feats = points[..., 3:] if points.shape[-1] > 3 else None
+
+        sa_xyz, sa_feats, sa_valid = [xyz], [feats], [valid]
+        for i in range(len(self.num_points)):
+            x, f, v = PointSAModule(
+                self.num_points[i], self.radii[i], self.num_samples[i],
+                tuple(self.sa_channels[i]), name=f'sa{i}')(
+                    sa_xyz[-1], sa_feats[-1], sa_valid[-1], train)
+            sa_xyz.append(x)
+            sa_feats.append(f)
+            sa_valid.append(v)
+
+        fp_x, fp_f, fp_v = sa_xyz[-1], sa_feats[-1], sa_valid[-1]
+        n_sa = len(sa_xyz)
+        for i, ch in enumerate(self.fp_channels):
+            tgt = n_sa - 2 - i
+            fp_f = PointFPModule(tuple(ch), name=f'fp{i}')(
+                sa_xyz[tgt], sa_feats[tgt], fp_x, fp_f, fp_v,
+                sa_valid[tgt], train)
+            fp_x, fp_v = sa_xyz[tgt], sa_valid[tgt]
+        return dict(fp_xyz=fp_x, fp_features=fp_f, fp_valid=fp_v,
+                    sa_xyz=sa_xyz, sa_features=sa_feats, sa_valid=sa_valid)
