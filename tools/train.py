@@ -29,6 +29,10 @@ def parse_args():
                    help='weights-only init from a checkpoint dir')
     p.add_argument('--max-steps', type=int, default=None,
                    help='cap total steps (debug)')
+    p.add_argument('--eval-info', default=None,
+                   help='info pkl for periodic eval (EvalHook equivalent); '
+                        'defaults to the train info')
+    p.add_argument('--no-eval', action='store_true')
     p.add_argument('--cfg-options', nargs='*', default=[])
     return p.parse_args()
 
@@ -184,7 +188,36 @@ def main():
                 ckpt.save_checkpoint(ckpt_dir, jax.device_get(state),
                                      step=step)
                 print(f'saved checkpoint @ step {step}')
+            if (not args.no_eval
+                    and (epoch + 1) % cfg.get('eval_interval', 5) == 0):
+                _run_eval(args, cfg, model, model_cfg, state, batch_size)
     print('training complete')
+
+
+def _run_eval(args, cfg, model, model_cfg, state, batch_size):
+    """Periodic KITTI eval (the reference's EvalHook,
+    apis/train.py:287-308)."""
+    import pickle
+
+    from gga_tpu.eval.kitti_eval import kitti_eval
+    from gga_tpu.eval.submission import detections_to_kitti_annos
+    from gga_tpu.tools_lib import run_inference
+    import jax
+    import os
+
+    info_path = os.path.join(
+        cfg.data_root, args.eval_info or cfg.data.train_info)
+    with open(info_path, 'rb') as f:
+        infos = pickle.load(f)
+    host_state = jax.device_get(state)
+    dets = run_inference(model, model_cfg, host_state, cfg, infos,
+                         batch_size)
+    det_annos = detections_to_kitti_annos(
+        dets, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
+    gt_annos = [info['annos'] for info in infos]
+    result, ret = kitti_eval(gt_annos, det_annos,
+                             ['Pedestrian', 'Cyclist', 'Car'])
+    print(result)
 
 
 if __name__ == '__main__':
