@@ -43,10 +43,12 @@ def inference_detector(model_bundle, points):
     n = min(len(points), max_points)
     pts[0, :n] = points[:n, :4]
     val[0, :n] = True
-    variables = {'params': state.params, 'batch_stats': state.batch_stats}
-    preds = model.apply(variables, jnp.asarray(pts), jnp.asarray(val),
-                        train=False)
-    out = jax.device_get(decode_detections(model_cfg, preds))
+    variables = jax.device_put(
+        {'params': state.params, 'batch_stats': state.batch_stats})
+    infer = jax.jit(lambda v, p, m: decode_detections(
+        model_cfg, model.apply(v, p, m, train=False)))
+    out = jax.device_get(infer(variables, jnp.asarray(pts),
+                               jnp.asarray(val)))
     v = out['valid'][0]
     return dict(boxes_3d=out['boxes'][0][v], scores_3d=out['scores'][0][v],
                 labels_3d=out['labels'][0][v])

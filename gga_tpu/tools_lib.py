@@ -92,11 +92,15 @@ def run_inference(model, model_cfg, state, cfg, infos, batch_size,
     """Batched jitted inference over scenes -> per-scene detection dicts
     (boxes_3d [n, 7] lidar bottom-center, scores_3d, labels_3d)."""
     max_points = max_points or cfg.data.max_points
-    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    # params passed as jit ARGUMENTS: closing over them bakes the weights
+    # into the HLO as constants, which this environment re-uploads through
+    # the compile relay on every call (~3 s/batch observed)
+    variables = jax.device_put(
+        {'params': state.params, 'batch_stats': state.batch_stats})
 
     @jax.jit
-    def infer(points, points_valid):
-        preds = model.apply(variables, points, points_valid, train=False)
+    def infer(v, points, points_valid):
+        preds = model.apply(v, points, points_valid, train=False)
         return decode_detections(model_cfg, preds)
 
     detections = []
@@ -112,7 +116,8 @@ def run_inference(model, model_cfg, state, cfg, infos, batch_size,
             p = s['points'][:max_points]
             pts_b[j, :len(p)] = p[:, :4]
             val_b[j, :len(p)] = True
-        out = jax.device_get(infer(jnp.asarray(pts_b), jnp.asarray(val_b)))
+        out = jax.device_get(infer(variables, jnp.asarray(pts_b),
+                                   jnp.asarray(val_b)))
         for j in range(len(chunk)):
             v = out['valid'][j]
             detections.append(dict(

@@ -46,16 +46,16 @@ def main():
         [x, y, rng.uniform(-2.5, 0.5, (B, P, 1)), rng.rand(B, P, 1)],
         -1).astype(np.float32)
     valid = np.ones((B, P), bool)
-    variables = model.init(jax.random.PRNGKey(0), pts[:1], valid[:1],
-                           train=False)
+    variables = jax.device_put(model.init(
+        jax.random.PRNGKey(0), pts[:1], valid[:1], train=False))
 
     @jax.jit
-    def infer(p, v):
-        preds = model.apply(variables, p, v, train=False)
+    def infer(vv, p, v):
+        preds = model.apply(vv, p, v, train=False)
         return decode_detections(cfg, preds)
 
     pts_j, valid_j = jnp.asarray(pts), jnp.asarray(valid)
-    out = infer(pts_j, valid_j)
+    out = infer(variables, pts_j, valid_j)
     jax.block_until_ready(out['scores'])
 
     if args.profile_dir:
@@ -64,7 +64,7 @@ def main():
     iters = max(args.samples // B, 1)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(pts_j, valid_j)
+        out = infer(variables, pts_j, valid_j)
     jax.block_until_ready(out['scores'])
     dt = time.perf_counter() - t0
 
