@@ -72,3 +72,53 @@ class KittiGGADataset:
             if len(idxs) < batch_size and drop_last:
                 break
             yield pl.collate([self[j] for j in idxs])
+
+
+class PrefetchLoader:
+    """Process-parallel batch loader with background prefetch.
+
+    The jitted step consumes ~1000 scenes/s on a v5e chip; single-threaded
+    python formatting (~100-200 scenes/s) would starve it (the reference
+    uses 4 loader workers per GPU, apis/train.py:208). Workers each own a
+    dataset replica (datasets are constructed from picklable args) and
+    format whole batches; results stream through an imap pipeline.
+    """
+
+    def __init__(self, dataset, batch_size, num_workers=8, prefetch=4,
+                 seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+
+    def epoch(self, epoch_idx):
+        import multiprocessing as mp
+
+        order = np.arange(len(self.dataset))
+        np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        n = len(order) // self.batch_size * self.batch_size
+        chunks = [order[i:i + self.batch_size].tolist()
+                  for i in range(0, n, self.batch_size)]
+        if self.num_workers <= 1:
+            for c in chunks:
+                yield pl.collate([self.dataset[j] for j in c])
+            return
+        ctx = mp.get_context('fork')
+        with ctx.Pool(self.num_workers, initializer=_loader_init,
+                      initargs=(self.dataset,)) as pool:
+            for batch in pool.imap(_loader_batch, chunks,
+                                   chunksize=1):
+                yield batch
+
+
+_LOADER_DS = None
+
+
+def _loader_init(ds):
+    global _LOADER_DS
+    _LOADER_DS = ds
+
+
+def _loader_batch(idxs):
+    return pl.collate([_LOADER_DS[j] for j in idxs])

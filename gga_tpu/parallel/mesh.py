@@ -38,3 +38,19 @@ def shard_batch(mesh, batch, axis_name='data'):
     mesh (axis 0 must divide by mesh size)."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialization (the reference's init_dist /
+    dist_train.sh NNODES path, SURVEY.md §2.4). On a single host this is a
+    no-op; on multi-host pods call before any jax device use and build the
+    mesh over jax.devices() — data-parallel batches shard over ICI within
+    a host and DCN across hosts automatically."""
+    import jax
+    if num_processes is None or num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True

@@ -162,11 +162,14 @@ def main():
         step = int(state.step)
         t_last = time.perf_counter()
         done = False
+        from gga_tpu.data.dataset import PrefetchLoader
+        loader = PrefetchLoader(dataset, batch_size,
+                                num_workers=cfg.get('loader_workers', 8),
+                                seed=cfg.seed)
         for epoch in range(cfg.max_epochs):
             if done:
                 break
-            for batch in dataset.epoch_batches(batch_size,
-                                               seed=cfg.seed + epoch):
+            for batch in loader.epoch(epoch):
                 batch.pop('gt_boxes', None)
                 sb = shard_batch(mesh, batch)
                 state, logs = step_fn(state, sb, rng)
