@@ -73,8 +73,7 @@ def main():
     from gga_tpu.models.dense_heads.centerpoint_head_gga import GGAHeadConfig
     from gga_tpu.models.detectors.centerpoint_gga import (GGAModelConfig,
                                                           GGADetector)
-    from gga_tpu.parallel.mesh import data_parallel_mesh, shard_batch
-    from gga_tpu.train.loop import create_train_state, make_jitted_train_step
+    from gga_tpu.train.loop import create_train_state
     from gga_tpu.train.optim import build_optimizer
 
     B = 8                 # scenes per step (per chip)
@@ -87,31 +86,46 @@ def main():
     model = GGADetector(cfg)
     batch_np = make_batch(B, P, M, Pc)
 
-    mesh = data_parallel_mesh(jax.devices()[:1])
     variables = model.init(
         jax.random.PRNGKey(0), batch_np['points'][:1],
         batch_np['points_valid'][:1], train=False)
     tx = build_optimizer(total_steps=10000)
     state = create_train_state(model, variables, tx)
 
-    with mesh:
-        step = make_jitted_train_step(mesh, cfg.head)
-        state = jax.device_put(state, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
-        batch = shard_batch(mesh, batch_np)
-        rng = jax.random.PRNGKey(1)
+    # Measure K chained steps INSIDE one XLA program (lax.scan): this
+    # machine's remote-execution relay makes per-launch python timing
+    # unreliable (dispatch-only artifacts), so the per-step time is taken
+    # as the slope between K=1 and K=K launches of a scanned step.
+    import jax.numpy as jnp
 
-        # warmup / compile
-        state, logs = step(state, batch, rng)
-        jax.block_until_ready(logs['loss'])
+    from gga_tpu.train.loop import gga_train_step
 
-        iters = 10
+    batch = jax.device_put({k: jnp.asarray(v) for k, v in batch_np.items()})
+    state = jax.device_put(state)
+    rng = jax.random.PRNGKey(1)
+
+    def k_steps(k):
+        @jax.jit
+        def run(s):
+            def body(s, _):
+                s2, logs = gga_train_step(s, batch, rng, cfg.head)
+                return s2, logs['loss']
+            _, losses = jax.lax.scan(body, s, None, length=k)
+            return losses
+        return run
+
+    times = {}
+    for k in (1, 5):
+        f = k_steps(k)
+        jax.block_until_ready(f(state))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, logs = step(state, batch, rng)
-        jax.block_until_ready(logs['loss'])
-        dt = (time.perf_counter() - t0) / iters
+        reps = 3
+        for _ in range(reps):
+            out = f(state)
+        jax.block_until_ready(out)
+        times[k] = (time.perf_counter() - t0) / reps
 
+    dt = max((times[5] - times[1]) / 4, 1e-6)  # slope = marginal step time
     scenes_per_sec = B / dt
     baseline = 5.0  # reference scenes/s per V100 (SECOND, benchmarks.md)
     print(json.dumps({
