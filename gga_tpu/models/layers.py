@@ -160,6 +160,23 @@ class SparseConvBlock(nn.Module):
         return x, out_coords, out_valid, out_grid
 
 
+class SubMConv3dMapped(nn.Module):
+    """Submanifold conv on a precomputed neighbor map (the binary-search
+    neighbor resolution is shared across every SubM conv of a stage —
+    ops.sparse.build_neighbor_map)."""
+    out_channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, feats, valid, nmap, hit):
+        k3 = self.kernel_size ** 3
+        w = self.param('kernel', conv_init,
+                       (k3, feats.shape[-1], self.out_channels))
+        return jax.vmap(
+            lambda f, v, m, h: sp.subm_conv_with_map(f, v, m, h, w)
+        )(feats, valid, nmap, hit)
+
+
 class SparseBasicBlock(nn.Module):
     """ResNet BasicBlock on sparse tensors
     (/root/reference/mmdet3d/ops/sparse_block.py:23): two SubM convs with
@@ -167,12 +184,19 @@ class SparseBasicBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, feats, coords, valid, grid, train: bool):
+    def __call__(self, feats, coords, valid, grid, train: bool,
+                 nmap=None, hit=None):
+        if nmap is None:
+            def mk(c, v):
+                st = sp.SparseTensor(jnp.zeros_like(c, jnp.float32)[:, :1],
+                                     c, v, tuple(grid))
+                return sp.build_neighbor_map(st)
+            nmap, hit = jax.vmap(mk)(coords, valid)
         identity = feats
-        x = SubMConv3d(self.channels)(feats, coords, valid, grid)
+        x = SubMConv3dMapped(self.channels)(feats, valid, nmap, hit)
         x = MaskedBatchNorm()(x, valid, train)
         x = nn.relu(x)
-        x = SubMConv3d(self.channels)(x, coords, valid, grid)
+        x = SubMConv3dMapped(self.channels)(x, valid, nmap, hit)
         x = MaskedBatchNorm()(x, valid, train)
         x = nn.relu(x + identity)
         return x

@@ -13,8 +13,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
+from ..ops import sparse as sp
 from ..ops.scatter import pillar_scatter
-from .layers import SparseBasicBlock, SparseConvBlock
+from .layers import (MaskedBatchNorm, SparseBasicBlock, SparseConvBlock,
+                     SubMConv3dMapped)
 
 
 class SparseEncoder(nn.Module):
@@ -46,8 +50,18 @@ class SparseEncoder(nn.Module):
             [B, H, W, C*D] dense BEV features (NHWC).
         """
         grid = tuple(self.sparse_shape)
-        x, c, v, g = SparseConvBlock(self.base_channels, 'subm')(
-            feats, coords, valid, grid, train)
+
+        def make_map(cc, vv):
+            st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
+                                 cc, vv, tuple(grid))
+            return sp.build_neighbor_map(st)
+
+        # one neighbor map per active set, shared by every SubM conv on it
+        nmap, hit = jax.vmap(make_map)(coords, valid)
+        x = SubMConv3dMapped(self.base_channels)(feats, valid, nmap, hit)
+        x = MaskedBatchNorm()(x, valid, train)
+        x = nn.relu(x)
+        c, v, g = coords, valid, grid
 
         assert self.block_type in ('basicblock', 'conv_module')
         num_stages = len(self.encoder_channels)
@@ -65,8 +79,17 @@ class SparseEncoder(nn.Module):
                             stride=(2, 2, 2), padding=pad3,
                             out_budget=self.stage_budgets[i])(
                                 x, c, v, g, train)
+
+                        def make_map_g(cc, vv, grid_now=g):
+                            st = sp.SparseTensor(
+                                jnp.zeros((cc.shape[0], 1), jnp.float32),
+                                cc, vv, tuple(grid_now))
+                            return sp.build_neighbor_map(st)
+
+                        nmap, hit = jax.vmap(make_map_g)(c, v)
                     else:
-                        x = SparseBasicBlock(out_ch)(x, c, v, g, train)
+                        x = SparseBasicBlock(out_ch)(x, c, v, g, train,
+                                                     nmap=nmap, hit=hit)
                 else:  # conv_module (sparse_encoder.make_encoder_layers)
                     is_down = (i != 0 and j == 0)
                     if is_down:

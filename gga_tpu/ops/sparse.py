@@ -335,3 +335,48 @@ def topk_prune(st: SparseTensor, scores, k_budget):
     order = jnp.argsort(lin)
     return SparseTensor(features=feats[order], coords=coords[order],
                         valid=keep_valid[order], grid=st.grid)
+
+
+def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
+    """Precompute the gather map for a submanifold conv on this active set.
+
+    SubM convs within a stage share the same coordinates, so the
+    binary-search neighbor resolution (the searchsorted in
+    ``gather_neighbors``) only needs to run once per stage instead of once
+    per conv layer.
+
+    Returns:
+        (pos [K, N] int32 gather rows, hit [K, N] bool).
+    """
+    k = _triple(kernel_size)
+    pad = tuple((x - 1) // 2 for x in k)
+    offsets = _kernel_offsets(k)
+    lin_in, big = _linearize(st.coords, st.valid, st.grid)
+    nz, ny, nx = st.grid
+    tgt = (st.coords.astype(jnp.int32)[None, :, :]
+           - np.asarray(pad, np.int32)[None, None, :]
+           + jnp.asarray(offsets, jnp.int32)[:, None, :])
+    in_bounds = jnp.all(
+        (tgt >= 0) & (tgt < jnp.asarray([nz, ny, nx], jnp.int32)), axis=-1)
+    lin_t = tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2]
+    lin_t = jnp.where(in_bounds & st.valid[None, :], lin_t, big)
+    K, N = lin_t.shape
+    pos = jnp.searchsorted(lin_in, lin_t.reshape(-1))
+    pos = jnp.clip(pos, 0, lin_in.shape[0] - 1)
+    hit = (lin_in[pos] == lin_t.reshape(-1)) & (lin_t.reshape(-1) < big)
+    return (pos.reshape(K, N).astype(jnp.int32), hit.reshape(K, N))
+
+
+def subm_conv_with_map(features, valid, nmap, hit, weights, bias=None):
+    """Submanifold conv using a precomputed neighbor map.
+
+    Args:
+        features: [N, Cin]; valid: [N]; nmap/hit: from build_neighbor_map.
+        weights: [K, Cin, Cout].
+    """
+    gathered = jnp.where(hit[..., None], features[nmap], 0.0)  # [K, N, Cin]
+    out = jnp.einsum('knc,kcd->nd', gathered, weights,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return jnp.where(valid[:, None], out, 0.0).astype(features.dtype)
