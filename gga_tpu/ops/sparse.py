@@ -140,24 +140,33 @@ def downsample_coords(st: SparseTensor, kernel_size, stride, padding,
         (out_coords [M, 3], out_valid [M], out_grid) with M = out_budget,
         sorted by linear id.
     """
-    offsets = _kernel_offsets(kernel_size)
+    ksz = _triple(kernel_size)
     stride_a = np.asarray(_triple(stride), np.int64)
     pad_a = np.asarray(_triple(padding), np.int64)
     nz, ny, nx = st.grid
     out_grid = tuple(
         int((d + 2 * p - k) // s + 1)
-        for d, p, k, s in zip((nz, ny, nx), pad_a, _triple(kernel_size),
-                              stride_a))
+        for d, p, k, s in zip((nz, ny, nx), pad_a, ksz, stride_a))
     oz, oy, ox = out_grid
 
-    # candidate outputs: o = (c + p - k_off) / s where divisible & in range
-    num = (st.coords.astype(jnp.int32)[None, :, :] + pad_a[None, None, :]
-           - jnp.asarray(offsets, jnp.int32)[:, None, :])  # [K, N, 3]
-    div_ok = jnp.all(num % stride_a[None, None, :] == 0, axis=-1)
-    o = num // stride_a[None, None, :]
+    # Candidate outputs per input, enumerated per dim as
+    # o_d = floor((c + p) / s) - d for d in [0, ceil(k/s)): only these can
+    # satisfy o*s - p + off == c with off in [0, k). This is ceil(k/s)^3
+    # candidates (8 for k3 s2, 1 for k2 s2) instead of the naive K=prod(k)
+    # (27), shrinking the dedupe sort by ~3-8x.
+    n_cand = [int(-(-k // s)) for k, s in zip(ksz, stride_a)]
+    ds = np.stack(np.meshgrid(*[np.arange(c) for c in n_cand],
+                              indexing='ij'), -1).reshape(-1, 3)  # [D, 3]
+    cp = st.coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
+    base_o = cp // jnp.asarray(stride_a, jnp.int32)          # [N, 3]
+    o = base_o[None, :, :] - jnp.asarray(ds, jnp.int32)[:, None, :]
+    # coverage: 0 <= c + p - o*s <= k-1
+    off = cp[None, :, :] - o * jnp.asarray(stride_a, jnp.int32)
+    cover = jnp.all((off >= 0) & (off < jnp.asarray(ksz, jnp.int32)),
+                    axis=-1)
     in_rng = jnp.all(
         (o >= 0) & (o < jnp.asarray(out_grid, jnp.int32)), axis=-1)
-    ok = div_ok & in_rng & st.valid[None, :]
+    ok = cover & in_rng & st.valid[None, :]
 
     big = np.int64(oz) * oy * ox
     lin = (o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2]).reshape(-1)
