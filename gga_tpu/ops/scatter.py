@@ -94,7 +94,7 @@ def assign_point_voxel_ids(coords_zyx_points, coords_zyx_voxels,
     vv = lin(coords_zyx_voxels, valid_voxels)
     order = jnp.argsort(vv)
     vv_sorted = vv[order]
-    pos = jnp.searchsorted(vv_sorted, vp)
+    pos = jnp.searchsorted(vv_sorted, vp, method='sort')
     pos = jnp.clip(pos, 0, vv.shape[0] - 1)
     hit = (vv_sorted[pos] == vp) & valid_points & (vp < big)
     slot = order[pos]

@@ -96,7 +96,7 @@ def gather_neighbors(st: SparseTensor, query_coords, query_valid,
     lin_t = (tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2])
     lin_t = jnp.where(in_bounds & query_valid[None, :], lin_t, big)
 
-    pos = jnp.searchsorted(lin_in, lin_t.reshape(-1))
+    pos = jnp.searchsorted(lin_in, lin_t.reshape(-1), method='sort')
     pos = jnp.clip(pos, 0, lin_in.shape[0] - 1)
     hit = (lin_in[pos] == lin_t.reshape(-1)) & (lin_t.reshape(-1) < big)
     feats = jnp.where(hit[:, None], st.features[pos], 0.0)
@@ -370,7 +370,7 @@ def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
     lin_t = tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2]
     lin_t = jnp.where(in_bounds & st.valid[None, :], lin_t, big)
     K, N = lin_t.shape
-    pos = jnp.searchsorted(lin_in, lin_t.reshape(-1))
+    pos = jnp.searchsorted(lin_in, lin_t.reshape(-1), method='sort')
     pos = jnp.clip(pos, 0, lin_in.shape[0] - 1)
     hit = (lin_in[pos] == lin_t.reshape(-1)) & (lin_t.reshape(-1) < big)
     return (pos.reshape(K, N).astype(jnp.int32), hit.reshape(K, N))
