@@ -82,7 +82,7 @@ def main():
     Pc = 256              # padded cluster points per object
 
     head = GGAHeadConfig(max_objs=M)
-    cfg = GGAModelConfig(head=head)
+    cfg = GGAModelConfig(head=head, compute_dtype='bfloat16')
     model = GGADetector(cfg)
     batch_np = make_batch(B, P, M, Pc)
 

@@ -39,10 +39,11 @@ class SeparateHead(nn.Module):
             bias_init = (nn.initializers.constant(self.init_bias)
                          if name == 'heatmap' else nn.initializers.zeros)
             y = nn.Conv(out_ch, (self.final_kernel, self.final_kernel),
-                        padding='SAME', use_bias=True,
+                        padding='SAME', use_bias=True, dtype=y.dtype,
                         kernel_init=conv_init, bias_init=bias_init,
                         name=f'{name}_out')(y)
-            out[name] = y
+            # losses and decode run in f32
+            out[name] = y.astype(jnp.float32)
         return out
 
 

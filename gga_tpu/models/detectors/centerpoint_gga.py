@@ -53,6 +53,9 @@ class GGAModelConfig:
     score_threshold: float = 0.1
     nms_thr: float = 0.2
     post_max_size: int = 512
+    # 'bfloat16' runs the backbone/neck/head compute path in bf16 (params
+    # and losses stay f32); default f32
+    compute_dtype: str = 'float32'
 
     @classmethod
     def tiny(cls):
@@ -98,6 +101,7 @@ class GGADetector(nn.Module):
         voxels, coords, num_points, num_voxels = jax.vmap(vox)(
             points, points_valid)
         feats = HardSimpleVFE()(voxels, num_points)
+        feats = feats.astype(jnp.dtype(c.compute_dtype))
         vvalid = (jnp.arange(c.max_voxels)[None, :]
                   < num_voxels[:, None])
 

@@ -45,9 +45,10 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             m = valid[..., None].astype(jnp.float32)
+            xf = x.astype(jnp.float32)
             cnt = jnp.maximum(m.sum(), 1.0)
-            mean = (x * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
-            var = (((x - mean) ** 2) * m).sum(
+            mean = (xf * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            var = (((xf - mean) ** 2) * m).sum(
                 axis=tuple(range(x.ndim - 1))) / cnt
             if not self.is_initializing():
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
@@ -59,8 +60,9 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return jnp.where(valid[..., None], y, 0.0)
+        y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+             * scale + bias)
+        return jnp.where(valid[..., None], y, 0.0).astype(x.dtype)
 
 
 class BatchNorm2d(nn.Module):
@@ -203,7 +205,9 @@ class SparseBasicBlock(nn.Module):
 
 
 class ConvModule2d(nn.Module):
-    """Conv2d + BN + ReLU on NHWC maps (mmcv ConvModule equivalent)."""
+    """Conv2d + BN + ReLU on NHWC maps (mmcv ConvModule equivalent).
+    Computes in the INPUT dtype (params stay f32): feed bf16 maps for the
+    fast path."""
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
@@ -219,6 +223,7 @@ class ConvModule2d(nn.Module):
                     padding='SAME' if self.stride == 1 else
                     [(self.kernel_size // 2,) * 2] * 2,
                     use_bias=self.use_bias,
+                    dtype=x.dtype,
                     kernel_init=conv_init)(x)
         if self.use_norm:
             x = BatchNorm2d()(x, train)

@@ -31,11 +31,12 @@ class SECONDFPN(nn.Module):
                 x = nn.ConvTranspose(
                     self.out_channels[i], (stride, stride),
                     strides=(stride, stride), use_bias=False,
-                    kernel_init=conv_init)(x)
+                    dtype=x.dtype, kernel_init=conv_init)(x)
             else:
                 k = int(round(1 / stride))
                 x = nn.Conv(self.out_channels[i], (k, k), strides=(k, k),
-                            use_bias=False, kernel_init=conv_init)(x)
+                            use_bias=False, dtype=x.dtype,
+                            kernel_init=conv_init)(x)
             x = BatchNorm2d()(x, train)
             x = nn.relu(x)
             ups.append(x)

@@ -122,7 +122,8 @@ def subm_conv(st: SparseTensor, weights, bias=None):
     pad = (k - 1) // 2
     gathered = gather_neighbors(st, st.coords, st.valid,
                                 (k, k, k), (1, 1, 1), (pad, pad, pad))
-    out = jnp.einsum('knc,kcd->nd', gathered, weights,
+    out = jnp.einsum('knc,kcd->nd', gathered,
+                     weights.astype(gathered.dtype),
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
@@ -204,7 +205,8 @@ def sparse_conv(st: SparseTensor, weights, kernel_size, stride, padding,
         st, kernel_size, stride, padding, out_budget)
     gathered = gather_neighbors(st, out_coords, out_valid, kernel_size,
                                 stride, padding)
-    out = jnp.einsum('knc,kcd->nd', gathered, weights,
+    out = jnp.einsum('knc,kcd->nd', gathered,
+                     weights.astype(gathered.dtype),
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
@@ -383,8 +385,10 @@ def subm_conv_with_map(features, valid, nmap, hit, weights, bias=None):
         features: [N, Cin]; valid: [N]; nmap/hit: from build_neighbor_map.
         weights: [K, Cin, Cout].
     """
-    gathered = jnp.where(hit[..., None], features[nmap], 0.0)  # [K, N, Cin]
-    out = jnp.einsum('knc,kcd->nd', gathered, weights,
+    gathered = jnp.where(hit[..., None], features[nmap],
+                         jnp.zeros((), features.dtype))  # [K, N, Cin]
+    out = jnp.einsum('knc,kcd->nd', gathered,
+                     weights.astype(features.dtype),
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
