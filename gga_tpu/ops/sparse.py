@@ -378,18 +378,55 @@ def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
     return (pos.reshape(K, N).astype(jnp.int32), hit.reshape(K, N))
 
 
-def subm_conv_with_map(features, valid, nmap, hit, weights, bias=None):
+@jax.custom_vjp
+def subm_conv_with_map(features, valid, nmap, hit, weights):
     """Submanifold conv using a precomputed neighbor map.
+
+    Custom VJP: the backward w.r.t. features uses the MIRRORED neighbor
+    map (the submanifold relation is symmetric: m sits at offset k from n
+    iff n sits at offset K-1-k from m), so it is a gather+GEMM like the
+    forward — avoiding TPU scatter-adds, which are scalar-rate bound and
+    dominate the naive autodiff backward.
 
     Args:
         features: [N, Cin]; valid: [N]; nmap/hit: from build_neighbor_map.
         weights: [K, Cin, Cout].
     """
+    out, _ = _subm_fwd(features, valid, nmap, hit, weights)
+    return out
+
+
+def _subm_fwd(features, valid, nmap, hit, weights):
     gathered = jnp.where(hit[..., None], features[nmap],
                          jnp.zeros((), features.dtype))  # [K, N, Cin]
     out = jnp.einsum('knc,kcd->nd', gathered,
                      weights.astype(features.dtype),
                      preferred_element_type=jnp.float32)
-    if bias is not None:
-        out = out + bias
-    return jnp.where(valid[:, None], out, 0.0).astype(features.dtype)
+    out = jnp.where(valid[:, None], out, 0.0).astype(features.dtype)
+    return out, (features, valid, nmap, hit, weights)
+
+
+def _subm_bwd(res, dout):
+    features, valid, nmap, hit, weights = res
+    dout = jnp.where(valid[:, None], dout, 0.0)
+    # dW[k] = gathered_f[k]^T @ dout
+    gathered_f = jnp.where(hit[..., None], features[nmap],
+                           jnp.zeros((), features.dtype))
+    dw = jnp.einsum('knc,nd->kcd', gathered_f, dout,
+                    preferred_element_type=jnp.float32).astype(
+                        weights.dtype)
+    # df[m] = sum_k hit[k, m] * W[K-1-k] @ dout[nmap[k, m]] — the SAME
+    # map rows, paired with the MIRRORED kernel weights (offset symmetry:
+    # nmap[k, n] = m  <=>  nmap[K-1-k, m] = n)
+    gathered_d = jnp.where(hit[..., None], dout[nmap],
+                           jnp.zeros((), dout.dtype))      # [K, N, Cout]
+    w_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)     # [K, Cout, Cin]
+    df = jnp.einsum('knd,kdc->nc', gathered_d,
+                    w_t.astype(dout.dtype),
+                    preferred_element_type=jnp.float32).astype(
+                        features.dtype)
+    df = jnp.where(valid[:, None], df, 0.0)
+    return df, None, None, None, dw
+
+
+subm_conv_with_map.defvjp(_subm_fwd, _subm_bwd)

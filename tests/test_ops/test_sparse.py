@@ -112,3 +112,43 @@ def test_out_budget_overflow_is_graceful():
     out = sp.sparse_conv(st, jnp.asarray(w), (3, 3, 3), (2, 2, 2),
                          (1, 1, 1), out_budget=4)
     assert int(np.asarray(out.valid).sum()) == 4
+
+
+def test_subm_custom_vjp_matches_autodiff():
+    """The mirrored-gather backward must equal autodiff of the naive
+    gather formulation (scatter-free backward)."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    grid = (6, 8, 8)
+    lin = np.sort(rng.choice(6 * 8 * 8, 40, replace=False))
+    coords = np.stack([lin // 64, (lin // 8) % 8, lin % 8], -1)
+    coords = np.concatenate([coords, -np.ones((8, 3), np.int64)])
+    feats = rng.randn(48, 5).astype(np.float32)
+    feats[40:] = 0
+    valid = np.arange(48) < 40
+    st = sp.SparseTensor(jnp.asarray(feats),
+                         jnp.asarray(coords, jnp.int32),
+                         jnp.asarray(valid), grid)
+    nmap, hit = sp.build_neighbor_map(st)
+    w = jnp.asarray(rng.randn(27, 5, 4).astype(np.float32) * 0.3)
+    ct = jnp.asarray(rng.randn(48, 4).astype(np.float32))
+
+    def ref(f, w_):
+        g = jnp.where(hit[..., None], f[nmap], 0.0)
+        out = jnp.einsum('knc,kcd->nd', g, w_)
+        return jnp.where(jnp.asarray(valid)[:, None], out, 0.0)
+
+    f0 = jnp.asarray(feats)
+    out_cv = sp.subm_conv_with_map(f0, jnp.asarray(valid), nmap, hit, w)
+    np.testing.assert_allclose(np.asarray(out_cv), np.asarray(ref(f0, w)),
+                               atol=1e-5)
+    g_cv = jax.grad(lambda f, w_: (sp.subm_conv_with_map(
+        f, jnp.asarray(valid), nmap, hit, w_) * ct).sum(),
+        argnums=(0, 1))(f0, w)
+    g_ref = jax.grad(lambda f, w_: (ref(f, w_) * ct).sum(),
+                     argnums=(0, 1))(f0, w)
+    np.testing.assert_allclose(np.asarray(g_cv[0]), np.asarray(g_ref[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_cv[1]), np.asarray(g_ref[1]),
+                               atol=1e-4)
