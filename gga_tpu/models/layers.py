@@ -124,8 +124,8 @@ class SparseConv3d(nn.Module):
         def one(f, c, v):
             st = sp.SparseTensor(features=f, coords=c, valid=v,
                                  grid=tuple(grid))
-            out = sp.sparse_conv(st, w, self.kernel_size, self.stride,
-                                 self.padding, self.out_budget, b)
+            out = sp.sparse_conv_fast(st, w, self.kernel_size, self.stride,
+                                      self.padding, self.out_budget, b)
             return out.features, out.coords, out.valid
 
         of, oc, ov = jax.vmap(one)(feats, coords, valid)

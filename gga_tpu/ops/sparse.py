@@ -430,3 +430,109 @@ def _subm_bwd(res, dout):
 
 
 subm_conv_with_map.defvjp(_subm_fwd, _subm_bwd)
+
+
+import functools as _functools
+
+
+def _sconv_fwd_impl(in_feats, weights, in_coords, in_valid, out_pack,
+                    conv_params):
+    kernel_size, stride, padding, in_grid, out_grid = conv_params
+    out_coords, out_valid = out_pack
+    st = SparseTensor(in_feats, in_coords, in_valid, in_grid)
+    gathered = gather_neighbors(st, out_coords, out_valid, kernel_size,
+                                stride, padding)
+    out = jnp.einsum('knc,kcd->nd', gathered,
+                     weights.astype(gathered.dtype),
+                     preferred_element_type=jnp.float32)
+    out = jnp.where(out_valid[:, None], out, 0.0).astype(in_feats.dtype)
+    return out
+
+
+def _sconv_bwd(in_coords, in_valid, out_pack, conv_params, res, dout):
+    in_feats, weights = res
+    kernel_size, stride, padding, in_grid, out_grid = conv_params
+    out_coords, out_valid = out_pack
+    dout = jnp.where(out_valid[:, None], dout, 0.0)
+
+    # dW: recompute the forward gather (cheap; avoids saving [K, M, Cin])
+    st = SparseTensor(in_feats, in_coords, in_valid, in_grid)
+    gathered = gather_neighbors(st, out_coords, out_valid, kernel_size,
+                                stride, padding)
+    dw = jnp.einsum('knc,nd->kcd', gathered, dout,
+                    preferred_element_type=jnp.float32).astype(
+                        weights.dtype)
+
+    # df: reverse gather — for each input i and offset k, the output at
+    # o = (c_i + p - off_k) / s (when divisible, in range, active)
+    offsets = _kernel_offsets(kernel_size)
+    stride_a = np.asarray(_triple(stride), np.int64)
+    pad_a = np.asarray(_triple(padding), np.int64)
+    oz, oy, ox = out_grid
+    big = np.int32(oz * oy * ox)
+    out_lin, _ = _linearize(out_coords, out_valid, out_grid)
+
+    num = (in_coords.astype(jnp.int32)[None, :, :]
+           + jnp.asarray(pad_a, jnp.int32)[None, None, :]
+           - jnp.asarray(offsets, jnp.int32)[:, None, :])   # [K, N, 3]
+    div_ok = jnp.all(num % jnp.asarray(stride_a, jnp.int32) == 0, axis=-1)
+    o = num // jnp.asarray(stride_a, jnp.int32)
+    in_rng = jnp.all(
+        (o >= 0) & (o < jnp.asarray(out_grid, jnp.int32)), axis=-1)
+    ok = div_ok & in_rng & in_valid[None, :]
+    lin_t = o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2]
+    lin_t = jnp.where(ok, lin_t, big)
+    K, N = lin_t.shape
+    pos = jnp.searchsorted(out_lin, lin_t.reshape(-1), method='sort')
+    pos = jnp.clip(pos, 0, out_lin.shape[0] - 1)
+    hit = (out_lin[pos] == lin_t.reshape(-1)) & (lin_t.reshape(-1) < big)
+    gathered_d = jnp.where(hit.reshape(K, N)[..., None],
+                           dout[pos.reshape(K, N)],
+                           jnp.zeros((), dout.dtype))       # [K, N, Cout]
+    df = jnp.einsum('knd,kdc->nc', gathered_d,
+                    weights.transpose(0, 2, 1).astype(dout.dtype),
+                    preferred_element_type=jnp.float32).astype(
+                        in_feats.dtype)
+    df = jnp.where(in_valid[:, None], df, 0.0)
+    return df, dw
+
+
+# rebind: custom_vjp over the two diff args with the rest nondiff-by-value
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _strided_conv_core(in_feats, weights, in_coords, in_valid, out_pack,
+                       conv_params):
+    return _sconv_fwd_impl(in_feats, weights, in_coords, in_valid,
+                           out_pack, conv_params)
+
+
+def _core_fwd(in_feats, weights, in_coords, in_valid, out_pack,
+              conv_params):
+    out = _sconv_fwd_impl(in_feats, weights, in_coords, in_valid,
+                          out_pack, conv_params)
+    return out, (in_feats, weights, in_coords, in_valid, out_pack)
+
+
+def _core_bwd(conv_params, res, dout):
+    in_feats, weights, in_coords, in_valid, out_pack = res
+    df, dw = _sconv_bwd(in_coords, in_valid, out_pack, conv_params,
+                        (in_feats, weights), dout)
+    return df, dw, None, None, (None, None)
+
+
+_strided_conv_core.defvjp(_core_fwd, _core_bwd)
+
+
+def sparse_conv_fast(st: SparseTensor, weights, kernel_size, stride,
+                     padding, out_budget, bias=None):
+    """sparse_conv with the scatter-free custom-VJP feature path."""
+    out_coords, out_valid, out_grid = downsample_coords(
+        st, kernel_size, stride, padding, out_budget)
+    conv_params = (tuple(_triple(kernel_size)), tuple(_triple(stride)),
+                   tuple(_triple(padding)), tuple(st.grid),
+                   tuple(out_grid))
+    out = _strided_conv_core(st.features, weights, st.coords, st.valid,
+                             (out_coords, out_valid), conv_params)
+    if bias is not None:
+        out = out + bias
+    return SparseTensor(features=out, coords=out_coords, valid=out_valid,
+                        grid=out_grid)

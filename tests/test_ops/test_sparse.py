@@ -152,3 +152,31 @@ def test_subm_custom_vjp_matches_autodiff():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_cv[1]), np.asarray(g_ref[1]),
                                atol=1e-4)
+
+
+def test_strided_custom_vjp_matches_autodiff():
+    """sparse_conv_fast (reverse-gather backward) == sparse_conv grads."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    st = _random_sparse(rng, (7, 9, 9), 30, 48, 4)
+    w = jnp.asarray(rng.randn(27, 4, 5).astype(np.float32) * 0.3)
+    out_ref = sp.sparse_conv(st, w, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
+    out_fast = sp.sparse_conv_fast(st, w, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                   64)
+    np.testing.assert_allclose(np.asarray(out_ref.features),
+                               np.asarray(out_fast.features), atol=1e-5)
+    ct = jnp.asarray(rng.randn(64, 5).astype(np.float32))
+
+    def loss(f, w_, fn):
+        o = fn(st.replace(features=f), w_, (3, 3, 3), (2, 2, 2),
+               (1, 1, 1), 64)
+        return (o.features * ct).sum()
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(st.features, w, sp.sparse_conv)
+    g_fast = jax.grad(loss, argnums=(0, 1))(st.features, w,
+                                            sp.sparse_conv_fast)
+    np.testing.assert_allclose(np.asarray(g_ref[0]), np.asarray(g_fast[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_ref[1]), np.asarray(g_fast[1]),
+                               atol=1e-4)
