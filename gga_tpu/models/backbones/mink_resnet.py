@@ -70,7 +70,7 @@ class MinkBasicBlock(nn.Module):
         else:
             def down(f, c, v):
                 st = sp.SparseTensor(f, c, v, tuple(grid))
-                out = sp.sparse_conv(st, w1, (3, 3, 3), (2, 2, 2),
+                out = sp.sparse_conv_fast(st, w1, (3, 3, 3), (2, 2, 2),
                                      (1, 1, 1), self.out_budget)
                 return out.features, out.coords, out.valid
 
@@ -127,7 +127,7 @@ class MinkResNet(nn.Module):
         def conv1(f, c, v):
             st = sp.SparseTensor(features=f, coords=c, valid=v,
                                  grid=tuple(grid))
-            out = sp.sparse_conv(st, w0, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            out = sp.sparse_conv_fast(st, w0, (3, 3, 3), (2, 2, 2), (1, 1, 1),
                                  self.budgets[0])
             return out.features, out.coords, out.valid
 
