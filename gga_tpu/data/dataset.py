@@ -32,32 +32,43 @@ class KittiGGADataset:
         self.shapes = (max_points, max_objs, max_cluster_pts)
         self.min_distance = min_distance
         self.test_mode = test_mode
+        self._rng_seed = seed
         self._rng = np.random.RandomState(seed)
 
     def __len__(self):
         return len(self.infos)
 
-    def get_sample(self, idx):
+    def _item_rng(self, idx):
+        # per-item rng derived from (seed, idx): augmentation is
+        # deterministic regardless of loader worker count / epoch order
+        return np.random.RandomState(
+            (self._rng_seed * 1000003 + idx * 9176) % (2 ** 31 - 1))
+
+    def get_sample(self, idx, rng=None):
         """Raw pipeline output (pre-formatting), for eval/inspection."""
+        rng = rng or self._item_rng(idx)
         s = pl.load_sample(self.infos[idx], self.root,
                            pts_prefix=self.pts_prefix,
                            classes=self.CLASSES)
         if not self.test_mode:
             if self.db_sampler is not None:
                 s = pl.object_sample_gga(s, self.db_sampler,
-                                         self.min_distance, self._rng)
+                                         self.min_distance, rng)
             s = pl.points_range_filter(s, self.pc_range)
             s = pl.object_range_filter_gga(s, self.pc_range,
                                            self.num_points_range)
-            s = pl.point_shuffle(s, self._rng)
+            s = pl.point_shuffle(s, rng)
         else:
             s = pl.points_range_filter(s, self.pc_range)
         return s
 
     def __getitem__(self, idx):
-        s = self.get_sample(idx)
+        rng = self._item_rng(idx)
+        s = self.get_sample(idx, rng)
         P, M, Pc = self.shapes
-        return pl.format_gga_batch_item(s, P, M, Pc, self._rng)
+        item = pl.format_gga_batch_item(s, P, M, Pc, rng)
+        item['sample_idx'] = np.asarray(s['sample_idx'], np.int64)
+        return item
 
     def epoch_batches(self, batch_size, shuffle=True, seed=None,
                       drop_last=True):

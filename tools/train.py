@@ -171,6 +171,7 @@ def main():
                 break
             for batch in loader.epoch(epoch):
                 batch.pop('gt_boxes', None)
+                batch.pop('sample_idx', None)
                 sb = shard_batch(mesh, batch)
                 state, logs = step_fn(state, sb, rng)
                 step += 1
