@@ -38,11 +38,16 @@ class KittiGGADataset:
     def __len__(self):
         return len(self.infos)
 
+    epoch = 0  # set by the loader; mixed into per-item rng keys
+
     def _item_rng(self, idx):
-        # per-item rng derived from (seed, idx): augmentation is
-        # deterministic regardless of loader worker count / epoch order
+        # per-item rng derived from (seed, epoch, idx): augmentation is
+        # deterministic regardless of loader worker count, yet still
+        # varies across epochs (the reference's stateful worker rngs give
+        # epoch variety but are worker-count dependent)
         return np.random.RandomState(
-            (self._rng_seed * 1000003 + idx * 9176) % (2 ** 31 - 1))
+            (self._rng_seed * 1000003 + self.epoch * 7919
+             + idx * 9176) % (2 ** 31 - 1))
 
     def get_sample(self, idx, rng=None):
         """Raw pipeline output (pre-formatting), for eval/inspection."""
@@ -106,6 +111,7 @@ class PrefetchLoader:
     def epoch(self, epoch_idx):
         import multiprocessing as mp
 
+        self.dataset.epoch = epoch_idx  # fork inherits; serial path too
         order = np.arange(len(self.dataset))
         np.random.RandomState(self.seed + epoch_idx).shuffle(order)
         n = len(order) // self.batch_size * self.batch_size
