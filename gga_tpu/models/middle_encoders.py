@@ -41,13 +41,17 @@ class SparseEncoder(nn.Module):
     # static active-site budgets after each downsample stage
     stage_budgets: Sequence[int] = (16000, 16000, 16000)
     out_budget: int = 16000
+    # also return per-stage sparse outputs (SASSD's encode_features,
+    # sparse_encoder.py:292-295)
+    return_stages: bool = False
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool = True):
         """feats [B, V, C]; coords [B, V, 3] (z,y,x) sorted; valid [B, V].
 
         Returns:
-            [B, H, W, C*D] dense BEV features (NHWC).
+            [B, H, W, C*D] dense BEV features (NHWC); if ``return_stages``,
+            a tuple of (bev, [(feats, coords, valid, grid) per stage]).
         """
         grid = tuple(self.sparse_shape)
 
@@ -65,6 +69,7 @@ class SparseEncoder(nn.Module):
 
         assert self.block_type in ('basicblock', 'conv_module')
         num_stages = len(self.encoder_channels)
+        stages = []
         for i, blocks in enumerate(self.encoder_channels):
             for j, out_ch in enumerate(blocks):
                 pad = self.encoder_paddings[i][j]
@@ -101,6 +106,7 @@ class SparseEncoder(nn.Module):
                     else:
                         x, c, v, g = SparseConvBlock(out_ch, 'subm')(
                             x, c, v, g, train)
+            stages.append((x, c, v, g))
 
         x, c, v, g = SparseConvBlock(
             self.output_channels, 'spconv', kernel_size=(3, 1, 1),
@@ -122,7 +128,10 @@ class SparseEncoder(nn.Module):
         B = dense.shape[0]
         # channel-major over (C, D) to match the reference's view(N, C*D, ...)
         dense = dense.transpose(0, 2, 3, 4, 1)  # [B, H, W, C, D]
-        return dense.reshape(B, ny, nx, -1)
+        bev = dense.reshape(B, ny, nx, -1)
+        if self.return_stages:
+            return bev, stages
+        return bev
 
 
 class PointPillarsScatter(nn.Module):
