@@ -140,3 +140,95 @@ class PointNet2SASSG(nn.Module):
             fp_x, fp_v = sa_xyz[tgt], sa_valid[tgt]
         return dict(fp_xyz=fp_x, fp_features=fp_f, fp_valid=fp_v,
                     sa_xyz=sa_xyz, sa_features=sa_feats, sa_valid=sa_valid)
+
+
+class PointSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (mmdet3d PointSAModuleMSG,
+    /root/reference/mmdet3d/ops/pointnet_modules/point_sa_module.py):
+    one FPS sample set, several (radius, nsample, mlp) branches whose
+    max-pooled features concatenate, then a 1x1 aggregation layer."""
+    num_point: int
+    radii: Tuple[float, ...]
+    num_samples: Tuple[int, ...]
+    mlp_channels: Tuple[Tuple[int, ...], ...]
+    aggregation_channels: int = 0    # 0 = no aggregation conv
+
+    @nn.compact
+    def __call__(self, xyz, features, valid, train):
+        idx = jax.vmap(lambda p, v: po.furthest_point_sample(
+            p, v, self.num_point))(xyz, valid)
+        new_xyz = jnp.take_along_axis(xyz, idx[..., None], 1)
+        new_valid = jnp.take_along_axis(valid, idx, 1)
+
+        outs = []
+        for bi, (radius, nsample, mlps) in enumerate(
+                zip(self.radii, self.num_samples, self.mlp_channels)):
+            def group(p, f, v, c, radius=radius, nsample=nsample):
+                out, mask = po.query_and_group(p, f, c, radius, nsample,
+                                               p_valid=v)
+                if f is None:
+                    rel, feats = out, None
+                else:
+                    rel, feats = out[..., :3], out[..., 3:]
+                rel = rel / radius  # normalize_xyz
+                return (rel if feats is None
+                        else jnp.concatenate([rel, feats], -1)), mask
+
+            if features is None:
+                grouped, mask = jax.vmap(
+                    lambda p, v, c, g=group: g(p, None, v, c))(
+                        xyz, valid, new_xyz)
+            else:
+                grouped, mask = jax.vmap(group)(xyz, features, valid,
+                                                new_xyz)
+            g = SharedMLP(tuple(mlps), name=f'mlp{bi}')(grouped, mask,
+                                                        train)
+            neg = jnp.finfo(g.dtype).min
+            pooled = jnp.where(mask[..., None], g, neg).max(axis=-2)
+            pooled = jnp.where((mask.any(-1) & new_valid)[..., None],
+                               pooled, 0.0)
+            outs.append(pooled)
+        feats = jnp.concatenate(outs, -1)
+        if self.aggregation_channels:
+            feats = SharedMLP((self.aggregation_channels,),
+                              name='aggregation')(feats, new_valid, train)
+        return new_xyz, feats, new_valid
+
+
+class PointNet2SAMSG(nn.Module):
+    """Multi-scale-grouping PointNet++ encoder
+    (/root/reference/mmdet3d/models/backbones/pointnet2_sa_msg.py:13).
+    D-FPS sampling; F-FPS/FS fps_mods (3DSSD) are a round-2 item.
+
+    Returns dict(sa_xyz/sa_features/sa_valid lists) like PointNet2SASSG.
+    """
+    in_channels: int = 4
+    num_points: Tuple[int, ...] = (4096, 512, 256)
+    radii: Sequence[Tuple[float, ...]] = (
+        (0.2, 0.4, 0.8), (0.4, 0.8, 1.6), (1.6, 3.2, 4.8))
+    num_samples: Sequence[Tuple[int, ...]] = (
+        (32, 32, 64), (32, 32, 64), (32, 32, 32))
+    sa_channels: Sequence[Sequence[Tuple[int, ...]]] = (
+        ((16, 16, 32), (16, 16, 32), (32, 32, 64)),
+        ((64, 64, 128), (64, 64, 128), (64, 96, 128)),
+        ((128, 128, 256), (128, 192, 256), (128, 256, 256)))
+    aggregation_channels: Tuple[int, ...] = (64, 128, 256)
+
+    @nn.compact
+    def __call__(self, points, valid, train: bool = True):
+        xyz = points[..., :3]
+        feats = points[..., 3:] if points.shape[-1] > 3 else None
+        sa_xyz, sa_feats, sa_valid = [xyz], [feats], [valid]
+        for i in range(len(self.num_points)):
+            x, f, v = PointSAModuleMSG(
+                self.num_points[i], tuple(self.radii[i]),
+                tuple(self.num_samples[i]),
+                tuple(tuple(m) for m in self.sa_channels[i]),
+                self.aggregation_channels[i], name=f'sa{i}')(
+                    sa_xyz[-1], sa_feats[-1], sa_valid[-1], train)
+            sa_xyz.append(x)
+            sa_feats.append(f)
+            sa_valid.append(v)
+        return dict(sa_xyz=sa_xyz, sa_features=sa_feats,
+                    sa_valid=sa_valid, fp_xyz=sa_xyz[-1],
+                    fp_features=sa_feats[-1], fp_valid=sa_valid[-1])
