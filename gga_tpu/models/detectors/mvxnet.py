@@ -21,14 +21,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.scatter import (assign_point_voxel_ids, dynamic_scatter_max,
-                            dynamic_scatter_mean)
+from ...ops.scatter import assign_point_voxel_ids
 from ...ops.voxelize import dynamic_voxelize, hard_voxelize
 from ..backbones.resnet import ResNet
 from ..backbones.second import SECOND
 from ..dense_heads.anchor3d_head import Anchor3DConfig, Anchor3DHead
 from ..fusion_layers import PointFusion
-from ..layers import MaskedBatchNorm
+from ..voxel_encoders import DynamicVFE
 from ..middle_encoders import SparseEncoder
 from ..necks.fpn import FPN
 from ..necks.second_fpn import SECONDFPN
@@ -124,47 +123,25 @@ class MVXNet(nn.Module):
 
         coords, ids, pok, vvalid = jax.vmap(vox)(points, points_valid)
 
-        # ---- decorated point features (DynamicVFE, voxel_encoder.py:245) ----
+        # ---- dynamic VFE; image features fused before the last scatter ----
         pts_xyz = points[..., :3]
-        vmean, _ = jax.vmap(lambda p, i, o: dynamic_scatter_mean(
-            p, i, o, c.max_voxels))(points, ids, pok)
-        mean_per_pt = jax.vmap(lambda m, i: m[jnp.clip(i, 0, c.max_voxels - 1)]
-                               )(vmean, ids)
-        f_cluster = pts_xyz - mean_per_pt[..., :3]
-        # voxel center offsets: coords are (z, y, x)
-        vsz = jnp.asarray(vs, jnp.float32)
-        off = jnp.asarray(rng[:3], jnp.float32)
-        cz = jax.vmap(lambda cc, i: cc[jnp.clip(i, 0, c.max_voxels - 1)]
-                      )(coords, ids)
-        centers = (cz[..., ::-1].astype(jnp.float32) + 0.5) * vsz + off
-        f_center = pts_xyz - centers
-        feats = jnp.concatenate([points, f_cluster, f_center], axis=-1)
-        feats = jnp.where(pok[..., None], feats, 0.0)
+        fusion_mod = PointFusion(
+            img_channels=(c.img_fpn_channels,) * len(c.img_levels),
+            pts_channels=c.vfe_channels[-1],
+            mid_channels=c.fusion_mid_channels,
+            out_channels=c.fusion_out_channels,
+            img_levels=tuple(range(len(c.img_levels))),
+            name='fusion')
 
-        # ---- VFE layers; fuse image features before the last scatter ----
-        for i, ch in enumerate(c.vfe_channels):
-            feats = nn.Dense(ch, use_bias=False, name=f'vfe{i}')(feats)
-            feats = MaskedBatchNorm(name=f'vfe_bn{i}')(feats, pok, train)
-            feats = nn.relu(feats)
-            last = i == len(c.vfe_channels) - 1
-            if last:
-                feats = PointFusion(
-                    img_channels=(c.img_fpn_channels,) * len(c.img_levels),
-                    pts_channels=ch,
-                    mid_channels=c.fusion_mid_channels,
-                    out_channels=c.fusion_out_channels,
-                    img_levels=tuple(range(len(c.img_levels))),
-                    name='fusion')(img_feats, pts_xyz, feats, pok,
-                                   lidar2img, img_shape, train)
-            vfeat, _ = jax.vmap(lambda f, i_, o: dynamic_scatter_max(
-                f, i_, o, c.max_voxels))(feats, ids, pok)
-            if not last:
-                back = jax.vmap(
-                    lambda vf, i_: vf[jnp.clip(i_, 0, c.max_voxels - 1)]
-                )(vfeat, ids)
-                feats = jnp.concatenate([feats, back], axis=-1)
-                feats = jnp.where(pok[..., None], feats, 0.0)
-        vfeat = jnp.where(vvalid[..., None], vfeat, 0.0)
+        def fusion(point_feats, ok):
+            return fusion_mod(img_feats, pts_xyz, point_feats, ok,
+                              lidar2img, img_shape, train)
+
+        vfeat = DynamicVFE(
+            feat_channels=tuple(c.vfe_channels), voxel_size=vs,
+            point_cloud_range=rng, max_voxels=c.max_voxels,
+            name='vfe')(points, ids, pok, coords, vvalid, train,
+                        fusion=fusion)
 
         # ---- sparse 3D encoder + BEV stack ----
         bev = SparseEncoder(

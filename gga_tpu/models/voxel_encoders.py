@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,3 +93,71 @@ class DynamicSimpleVFE(nn.Module):
 
     def __call__(self, voxel_mean):
         return voxel_mean[..., :self.num_features]
+
+
+class DynamicVFE(nn.Module):
+    """Dynamic voxel feature encoder (voxel_encoder.py:88 DynamicVFE).
+
+    Decorates per-point features with cluster-mean and voxel-center
+    offsets, runs Linear+BN+ReLU layers with voxel-pooled context
+    concatenated back between layers (scatter-max + gather), and
+    optionally fuses per-point image features via a fusion layer before
+    the final scatter. TPU-first: fixed budgets, segment ops over
+    point->voxel ids (sorted-voxel invariant preserved).
+    """
+    feat_channels: Tuple[int, ...] = (64, 64)
+    voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.1)
+    point_cloud_range: Tuple[float, ...] = (0, -40, -3, 70.4, 40, 1)
+    max_voxels: int = 16000
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    with_distance: bool = False
+
+    @nn.compact
+    def __call__(self, points, ids, pok, coords, vvalid, train: bool = True,
+                 fusion=None):
+        """points [B, P, C]; ids [B, P] point->voxel slot; pok [B, P];
+        coords [B, V, 3] (z, y, x); vvalid [B, V]. ``fusion``: optional
+        callable(point_feats, pok) -> point_feats applied before the last
+        scatter (the reference's fusion_layer hook).
+
+        Returns voxel features [B, V, feat_channels[-1]].
+        """
+        from ..ops.scatter import dynamic_scatter_max, dynamic_scatter_mean
+
+        V = self.max_voxels
+        pts_xyz = points[..., :3]
+        parts = [points]
+        if self.with_cluster_center:
+            vmean, _ = jax.vmap(lambda p, i, o: dynamic_scatter_mean(
+                p, i, o, V))(points, ids, pok)
+            mean_pt = jax.vmap(lambda m, i: m[jnp.clip(i, 0, V - 1)]
+                               )(vmean, ids)
+            parts.append(pts_xyz - mean_pt[..., :3])
+        if self.with_voxel_center:
+            vsz = jnp.asarray(self.voxel_size, jnp.float32)
+            off = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+            cz = jax.vmap(lambda cc, i: cc[jnp.clip(i, 0, V - 1)]
+                          )(coords, ids)
+            centers = (cz[..., ::-1].astype(jnp.float32) + 0.5) * vsz + off
+            parts.append(pts_xyz - centers)
+        if self.with_distance:
+            parts.append(jnp.linalg.norm(pts_xyz, axis=-1, keepdims=True))
+        feats = jnp.where(pok[..., None], jnp.concatenate(parts, -1), 0.0)
+
+        vfeat = None
+        for i, ch in enumerate(self.feat_channels):
+            feats = nn.Dense(ch, use_bias=False, name=f'vfe{i}')(feats)
+            feats = MaskedBatchNorm(name=f'vfe_bn{i}')(feats, pok, train)
+            feats = nn.relu(feats)
+            last = i == len(self.feat_channels) - 1
+            if last and fusion is not None:
+                feats = fusion(feats, pok)
+            vfeat, _ = jax.vmap(lambda f, i_, o: dynamic_scatter_max(
+                f, i_, o, V))(feats, ids, pok)
+            if not last:
+                back = jax.vmap(lambda vf, i_: vf[jnp.clip(i_, 0, V - 1)]
+                                )(vfeat, ids)
+                feats = jnp.concatenate([feats, back], axis=-1)
+                feats = jnp.where(pok[..., None], feats, 0.0)
+        return jnp.where(vvalid[..., None], vfeat, 0.0)
