@@ -1,0 +1,255 @@
+"""First-class accuracy evidence for the GGA weak-supervision pipeline.
+
+Runs the full 4-stage-equivalent loop on a LEARNABLE synthetic mini-KITTI
+(consistent 3D boxes / 2D projections / surface point clusters):
+
+  1. stage-1 weak labels via the real generator (RANSAC ground, region
+     grow, rotating calipers — gga_tpu.data.kitti.gga_labels);
+  2. stage-2 weak training of the tiny GGA detector (heatmap on init
+     pseudo labels + BPL/SRL losses — never the 3D GT);
+  3. stage-3 pseudo-label generation via the real decode + image-IoU
+     matcher (gga_tpu.data.kitti.pseudo_labels);
+  4. scoring the pseudo labels against the synthetic 3D GT with the KITTI
+     evaluator (gga_tpu.eval.kitti_eval) — AP_3D / AP_BEV moderate.
+
+Asserts trained AP rises well above the untrained baseline, turning the
+north-star metric (KITTI AP_3D Mod, BASELINE.md) into a tracked number.
+Reference behavior mirrored: the evaluate/matching path at
+/root/reference/mmdet3d/datasets/kitti_dataset_GGA_train.py:418-445 and
+tools/utils_pseudo_labels_gga.py:17.
+
+Usage:
+    python tools/accuracy_bench.py [--scenes 48] [--steps 300] [--out ACCURACY.md]
+"""
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_synth_kitti(root, n_scenes, seed=0):
+    """Scenes with 1-5 cars (+ 0-2 pedestrians) in the camera frustum,
+    surface-ish point clusters, written as real KITTI files."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), '..'))
+    from gga_tpu.data.kitti import io as kio
+    from gga_tpu.data.kitti.gga_labels import calculate_gga_labels
+    from gga_tpu.data.kitti.gt_database import create_reduced_point_clouds
+    from tests.test_data.fixtures import make_scene, write_kitti_scene
+
+    rng = np.random.RandomState(seed)
+    infos = []
+    for idx in range(n_scenes):
+        n_car = rng.randint(1, 6)
+        n_ped = rng.randint(0, 3)
+        boxes, names = [], []
+        for _ in range(n_car + n_ped):
+            is_car = len(boxes) < n_car
+            for _try in range(30):
+                x = rng.uniform(8, 52)
+                y = rng.uniform(-0.32, 0.32) * x
+                if all(abs(x - b[0]) > 5 or abs(y - b[1]) > 4
+                       for b in boxes):
+                    break
+            if is_car:
+                dims = [rng.uniform(3.4, 4.6), rng.uniform(1.5, 1.85),
+                        rng.uniform(1.4, 1.7)]
+            else:
+                dims = [rng.uniform(0.5, 0.9), rng.uniform(0.5, 0.8),
+                        rng.uniform(1.6, 1.85)]
+            yaw = rng.uniform(-np.pi, np.pi)
+            boxes.append([x, y, -1.73 + dims[2] / 2 - dims[2] / 2,
+                          dims[0], dims[1], dims[2], yaw])
+            names.append('Car' if is_car else 'Pedestrian')
+        boxes = np.array(boxes, np.float64)
+        boxes[:, 2] = -1.73  # bottom on the ground plane
+        pts = make_scene(rng, boxes, names, n_ground=6000, n_clutter=400,
+                         pts_per_box=350)
+        write_kitti_scene(root, idx, pts, boxes, names)
+        info = kio.create_scene_info(root, 'train', idx)
+        kio.compute_num_points_in_gt(root, info)
+        calculate_gga_labels(
+            kio.load_velodyne(f'{root}/training/velodyne/{idx:06d}.bin'),
+            info, rng=np.random.RandomState(1000 + idx))
+        infos.append(info)
+    create_reduced_point_clouds(root, infos)
+    info_path = os.path.join(root, 'kitti_infos_train_GGA.pkl')
+    with open(info_path, 'wb') as f:
+        pickle.dump(infos, f)
+    return infos, info_path
+
+
+def evaluate_pseudo(model, cfg, state, ds_test, infos):
+    """decode -> kitti annos -> pseudo matching -> KITTI AP."""
+    import jax
+    import jax.numpy as jnp
+
+    from gga_tpu.data.kitti.pseudo_labels import pseudo_label_matching
+    from gga_tpu.eval.kitti_eval import kitti_eval
+    from gga_tpu.eval.submission import detections_to_kitti_annos
+    from gga_tpu.models.detectors.centerpoint_gga import decode_detections
+
+    variables = jax.device_put({'params': state.params,
+                                'batch_stats': state.batch_stats})
+
+    @jax.jit
+    def infer(v, points, points_valid):
+        preds = model.apply(v, points, points_valid, train=False)
+        return decode_detections(cfg, preds)
+
+    B = 8
+    detections = []
+    n = len(infos)
+    P = ds_test.shapes[0]
+    for i in range(0, n, B):
+        pts_b = np.zeros((B, P, 4), np.float32)
+        val_b = np.zeros((B, P), bool)
+        for j in range(min(B, n - i)):
+            s = ds_test.get_sample(i + j)
+            p = s['points'][:P]
+            pts_b[j, :len(p)] = p[:, :4]
+            val_b[j, :len(p)] = True
+        out = jax.device_get(infer(variables, jnp.asarray(pts_b),
+                                   jnp.asarray(val_b)))
+        for j in range(min(B, n - i)):
+            v = out['valid'][j]
+            detections.append(dict(
+                boxes_3d=out['boxes'][j][v],
+                scores_3d=out['scores'][j][v],
+                labels_3d=out['labels'][j][v]))
+
+    det_annos = detections_to_kitti_annos(
+        detections, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
+    pseudo_infos, gt_annos = pseudo_label_matching(infos, det_annos)
+    pseudo_annos = [info['annos'] for info in pseudo_infos]
+    _, metrics = kitti_eval(gt_annos, pseudo_annos, ['Car'],
+                            eval_types=('bbox', 'bev', '3d'))
+    return {
+        'AP11_3D_mod': metrics.get('KITTI/Car_3D_AP11_moderate_strict',
+                                   0.0),
+        'AP11_BEV_mod': metrics.get('KITTI/Car_BEV_AP11_moderate_strict',
+                                    0.0),
+        'AP11_3D_mod_loose': metrics.get(
+            'KITTI/Car_3D_AP11_moderate_loose', 0.0),
+        'AP11_BEV_mod_loose': metrics.get(
+            'KITTI/Car_BEV_AP11_moderate_loose', 0.0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--scenes', type=int, default=48)
+    ap.add_argument('--steps', type=int, default=300)
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--root', default='/tmp/gga_accuracy_kitti')
+    ap.add_argument('--out', default=None, help='write ACCURACY.md here')
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from gga_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+
+    from gga_tpu.data.dataset import KittiGGADataset
+    from gga_tpu.models.detectors.centerpoint_gga import (GGAModelConfig,
+                                                          GGADetector)
+    from gga_tpu.train.loop import create_train_state, gga_train_step
+    from gga_tpu.train.optim import build_optimizer
+
+    print(f'[1/4] generating {args.scenes} synthetic scenes...')
+    info_path = os.path.join(args.root, 'kitti_infos_train_GGA.pkl')
+    if os.path.exists(info_path):
+        with open(info_path, 'rb') as f:
+            infos = pickle.load(f)
+        if len(infos) != args.scenes:
+            infos, info_path = make_synth_kitti(args.root, args.scenes)
+    else:
+        infos, info_path = make_synth_kitti(args.root, args.scenes)
+
+    cfg = GGAModelConfig.tiny()
+    model = GGADetector(cfg)
+    ds = KittiGGADataset(args.root, info_path, max_points=8192,
+                         max_objs=cfg.head.max_objs, max_cluster_pts=128,
+                         pc_range=cfg.point_cloud_range)
+    ds_test = KittiGGADataset(args.root, info_path, max_points=8192,
+                              max_objs=cfg.head.max_objs,
+                              max_cluster_pts=128, test_mode=True,
+                              pc_range=cfg.point_cloud_range)
+
+    batch0 = next(ds.epoch_batches(args.batch, shuffle=False))
+    batch0.pop('gt_boxes', None)
+    batch0.pop('sample_idx', None)
+    variables = model.init(jax.random.PRNGKey(0), batch0['points'][:1],
+                           batch0['points_valid'][:1], train=False)
+    tx = build_optimizer(total_steps=args.steps, lr=1e-3)
+    state = create_train_state(model, variables, tx)
+
+    print('[2/4] scoring UNTRAINED pseudo labels...')
+    before = evaluate_pseudo(model, cfg, state, ds_test, infos)
+    print('  untrained:', json.dumps(before))
+
+    print(f'[3/4] weak-training {args.steps} steps...')
+    import functools
+
+    import jax.numpy as jnp
+    step_fn = jax.jit(functools.partial(gga_train_step,
+                                        head_cfg=cfg.head))
+    rng = jax.random.PRNGKey(1)
+    state = jax.device_put(state)
+    t0 = time.time()
+    step = 0
+    epoch = 0
+    while step < args.steps:
+        ds.epoch = epoch
+        for batch in ds.epoch_batches(args.batch, shuffle=True,
+                                      seed=epoch + 1):
+            batch.pop('gt_boxes', None)
+            batch.pop('sample_idx', None)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, logs = step_fn(state, batch, rng)
+            step += 1
+            if step % 50 == 0 or step == 1:
+                print(f'  step {step}: loss={float(logs["loss"]):.3f} '
+                      f'heatmap={float(logs.get("task0.loss_heatmap", 0)):.3f}')
+            if step >= args.steps:
+                break
+        epoch += 1
+    print(f'  trained {step} steps in {time.time() - t0:.0f}s')
+
+    print('[4/4] scoring TRAINED pseudo labels...')
+    state = jax.device_get(state)
+    after = evaluate_pseudo(model, cfg, state, ds_test, infos)
+    print('  trained:', json.dumps(after))
+
+    result = {
+        'metric': 'synthetic_kitti_pseudo_label_AP11_3D_moderate',
+        'untrained': before, 'trained': after,
+        'scenes': args.scenes, 'train_steps': step,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, 'w') as f:
+            f.write('# ACCURACY — synthetic-KITTI pseudo-label AP\n\n')
+            f.write(
+                'Full weak-supervision loop on a learnable synthetic '
+                'mini-KITTI\n(see tools/accuracy_bench.py): stage-1 weak '
+                'labels -> tiny-GGA weak training\n-> pseudo-label '
+                'matching -> KITTI eval vs synthetic 3D GT.\n\n')
+            f.write(f'- scenes: {args.scenes}, train steps: {step}\n')
+            f.write(f'- untrained: {json.dumps(before)}\n')
+            f.write(f'- trained:   {json.dumps(after)}\n')
+    return result
+
+
+if __name__ == '__main__':
+    main()
