@@ -18,7 +18,7 @@ import numpy as np
 from ..ops import sparse as sp
 from ..ops.scatter import pillar_scatter
 from .layers import (MaskedBatchNorm, SparseBasicBlock, SparseConvBlock,
-                     SubMConv3dMapped)
+                     SubMConv3dMapped, conv_init)
 
 
 class SparseEncoder(nn.Module):
@@ -132,6 +132,168 @@ class SparseEncoder(nn.Module):
         if self.return_stages:
             return bev, stages
         return bev
+
+
+class SparseUNet(nn.Module):
+    """PartA2's UNet-shaped sparse middle encoder
+    (/root/reference/mmdet3d/models/middle_encoders/sparse_unet.py:19).
+
+    Encoder: conv_input SubM, 4 stages (stages 2-4 start with a stride-2
+    SparseConv3d); conv_out (3,1,1) s(2,1,1) densified to the BEV map for
+    the RPN. Decoder: per stage, lateral SparseBasicBlock + concat-merge
+    (with the reference's interleaved channel-pair reduction) + upsample
+    via SparseInverseConv3d reusing the matching downsample's rulebook
+    (indice_key semantics); the last stage upsamples with a SubM conv.
+
+    Returns (bev [B, H, W, C*D], seg_feats [B, N, C_seg]) where seg_feats
+    live on the INPUT active set (voxel-wise features for the semantic
+    head / RoI pooling).
+    """
+    in_channels: int = 4
+    sparse_shape: Tuple[int, int, int] = (41, 1600, 1408)
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    encoder_sconv_paddings: Sequence = (1, 1, (0, 1, 1))  # spconv2..4
+    decoder_channels: Sequence[Sequence[int]] = (
+        (64, 64, 64), (64, 64, 32), (32, 32, 16), (16, 16, 16))
+    stage_budgets: Sequence[int] = (16000, 16000, 16000)
+    out_budget: int = 16000
+
+    def _strided(self, x, c, v, g, out_ch, pad, budget, train, name):
+        """stride-2 SparseConv3d + BN + relu; returns the rulebook so the
+        decoder's inverse conv can reuse it."""
+        K = 27
+        w = self.param(name, conv_init, (K, x.shape[-1], out_ch))
+
+        def one(cc, vv):
+            st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
+                                 cc, vv, tuple(g))
+            return sp.downsample_rulebook(st, (3, 3, 3), (2, 2, 2),
+                                          tuple(pad) if isinstance(
+                                              pad, (tuple, list))
+                                          else (pad,) * 3, budget)
+
+        oc, ov, og, fm, bm = jax.vmap(one, out_axes=(0, 0, None, 0, 0))(
+            c, v)
+        x = jax.vmap(lambda f, fm1, bm1, ov1: sp.rulebook_conv(
+            f, w, fm1, bm1, ov1))(x, fm, bm, ov)
+        x = MaskedBatchNorm()(x, ov, train)
+        x = nn.relu(x)
+        return x, oc, ov, og, (fm, bm)
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, train: bool = True):
+        grid = tuple(self.sparse_shape)
+
+        def make_map(cc, vv, g):
+            st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
+                                 cc, vv, tuple(g))
+            return sp.build_neighbor_map(st)
+
+        nmaps = {}  # per coordinate set, shared by all SubM convs on it
+        nmaps[0] = jax.vmap(lambda cc, vv: make_map(cc, vv, grid))(
+            coords, valid)
+
+        def subm(x, vv, nmap_hit, out_ch):
+            return SubMConv3dMapped(out_ch)(x, vv, *nmap_hit)
+
+        def subm_bn(x, vv, nmap_hit, out_ch):
+            x = subm(x, vv, nmap_hit, out_ch)
+            x = MaskedBatchNorm()(x, vv, train)
+            return nn.relu(x)
+
+        x = subm_bn(feats, valid, nmaps[0], self.base_channels)
+
+        sets = {0: (coords, valid, grid)}
+        rulebooks = {}
+        encode_features = []
+        c, v, g = coords, valid, grid
+        for i, blocks in enumerate(self.encoder_channels):
+            for j, out_ch in enumerate(blocks):
+                if i != 0 and j == 0:
+                    x, c, v, g, rb = self._strided(
+                        x, c, v, g, out_ch,
+                        self.encoder_sconv_paddings[i - 1],
+                        self.stage_budgets[i - 1], train,
+                        name=f'spconv{i + 1}')
+                    rulebooks[i] = rb
+                    sets[i] = (c, v, g)
+                    nmaps[i] = jax.vmap(
+                        lambda cc, vv, gg=g: make_map(cc, vv, gg))(c, v)
+                else:
+                    x = subm_bn(x, v, nmaps[i], out_ch)
+            encode_features.append((x, i))
+
+        # conv_out: (3,1,1) s(2,1,1) p0 -> dense BEV (sparse_unet.py:96-134)
+        x_out, c_out, v_out, g_out, _ = self._strided_out(
+            encode_features[-1][0], c, v, g, train)
+        nz, ny, nx = g_out
+
+        def densify(f, cc, vv):
+            z = jnp.where(vv, cc[:, 0], nz)
+            y = jnp.where(vv, cc[:, 1], 0)
+            xx = jnp.where(vv, cc[:, 2], 0)
+            dense = jnp.zeros((nz + 1, ny, nx, f.shape[-1]), f.dtype)
+            dense = dense.at[z, y, xx].set(jnp.where(vv[:, None], f, 0.0))
+            return dense[:nz]
+
+        dense = jax.vmap(densify)(x_out, c_out, v_out)
+        B = dense.shape[0]
+        bev = dense.transpose(0, 2, 3, 4, 1).reshape(B, ny, nx, -1)
+
+        # decoder: stage_num .. 1 (sparse_unet.py:142-178)
+        num = len(self.encoder_channels)
+        x = encode_features[-1][0]
+        for d, ch in enumerate(self.decoder_channels):
+            i = num - 1 - d           # encoder set index this block lives on
+            x_lat, _ = encode_features[i]
+            _, vv, _ = sets[i]
+            # lateral SparseBasicBlock (two SubM + BN, residual)
+            ident = x_lat
+            l1 = subm_bn(x_lat, vv, nmaps[i], ch[0])
+            l2 = subm(l1, vv, nmaps[i], ch[0])
+            l2 = MaskedBatchNorm()(l2, vv, train)
+            lat = nn.relu(l2 + ident)
+            cat = jnp.concatenate([x, lat], axis=-1)       # [B, N, 2C]
+            merged = subm_bn(cat, vv, nmaps[i], ch[1])
+            # reduce_channel: interleaved channel pairs (sparse_unet.py:186)
+            reduced = cat.reshape(cat.shape[0], cat.shape[1], ch[1],
+                                  -1).sum(-1)
+            x = merged + reduced
+            if i != 0:
+                # upsample: inverse conv through the downsample's rulebook
+                fm, bm = rulebooks[i]
+                _, pv, _ = sets[i - 1]
+                w = self.param(f'inv_{i}', conv_init,
+                               (27, x.shape[-1], ch[2]))
+                x = jax.vmap(lambda f, fm1, bm1, pv1, w=w:
+                             sp.sparse_inverse_conv(f, w, fm1, bm1, pv1))(
+                                 x, fm, bm, pv)
+                x = MaskedBatchNorm()(x, pv, train)
+                x = nn.relu(x)
+            else:
+                x = subm_bn(x, vv, nmaps[0], ch[2])
+        return bev, x
+
+    def _strided_out(self, x, c, v, g, train):
+        w = self.param('conv_out', conv_init,
+                       (3, x.shape[-1], self.output_channels))
+
+        def one(cc, vv):
+            st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
+                                 cc, vv, tuple(g))
+            return sp.downsample_rulebook(st, (3, 1, 1), (2, 1, 1),
+                                          (0, 0, 0), self.out_budget)
+
+        oc, ov, og, fm, bm = jax.vmap(one, out_axes=(0, 0, None, 0, 0))(
+            c, v)
+        x = jax.vmap(lambda f, fm1, bm1, ov1: sp.rulebook_conv(
+            f, w, fm1, bm1, ov1))(x, fm, bm, ov)
+        x = MaskedBatchNorm()(x, ov, train)
+        x = nn.relu(x)
+        return x, oc, ov, og, (fm, bm)
 
 
 class PointPillarsScatter(nn.Module):

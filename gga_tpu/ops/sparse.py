@@ -601,6 +601,37 @@ def _rb_bwd(res, dout):
 _rulebook_conv.defvjp(_rb_fwd, _rb_bwd)
 
 
+def rulebook_conv(features, weights, fwd_map, bwd_map, out_valid):
+    """Public alias of the rulebook conv core (for modules that manage
+    their own rulebooks, e.g. SparseUNet's encoder/decoder pairing)."""
+    return _rulebook_conv(features, weights, fwd_map, bwd_map, out_valid)
+
+
+def sparse_inverse_conv(features, weights, fwd_map, bwd_map, in_valid,
+                        bias=None):
+    """SparseInverseConv3d: deconvolve low-res features back onto the
+    PRE-downsample active set of the strided conv whose rulebook is given
+    (spconv's indice_key reuse — consumed by SparseUNet's up path,
+    /root/reference/mmdet3d/models/middle_encoders/sparse_unet.py:279-286).
+
+    The inverse relation is the rulebook transposed: out[n] sums
+    W[k] @ feats_low[bwd_map[k, n]] over the offsets that linked input row
+    n to a downsampled site — i.e. ``_rulebook_conv`` with the fwd/bwd
+    maps swapped (its VJP transposes back automatically).
+
+    Args:
+        features: [M, C_low] downsampled features.
+        weights: [K, C_low, C_out].
+        fwd_map/bwd_map: from ``downsample_rulebook`` of the matching
+            strided conv.
+        in_valid: [N] validity of the pre-downsample active set.
+    """
+    out = _rulebook_conv(features, weights, bwd_map, fwd_map, in_valid)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def sparse_conv_fast(st: SparseTensor, weights, kernel_size, stride,
                      padding, out_budget, bias=None):
     """sparse_conv on the one-sort rulebook with a scatter-free VJP."""

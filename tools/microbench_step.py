@@ -99,7 +99,8 @@ def main():
             return (out['voxels'], out['coords'], out['num_points'],
                     out['num_voxels'])
         voxels, coords, npts, nvox = jax.vmap(one)(pts, pv)
-        feats = HardSimpleVFE()(voxels, npts)
+        feats = voxels[..., :4].sum(axis=-2) / jnp.maximum(
+            npts[..., None], 1).astype(voxels.dtype)   # HardSimpleVFE
         feats = feats.astype(jnp.bfloat16)
         vvalid = (jnp.arange(cfg.max_voxels)[None, :] < nvox[:, None])
         return feats, coords, vvalid
