@@ -11,58 +11,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data import pipelines as pl
-from .models.dense_heads.centerpoint_head_gga import GGAHeadConfig
-from .models.detectors.centerpoint_gga import (GGAModelConfig, GGADetector,
-                                               decode_detections)
-
-
-def _t(v):
-    return tuple(tuple(x) if isinstance(x, (list, tuple)) else x for x in v)
-
-
-def head_config_from_cfg(cfg) -> GGAHeadConfig:
-    h = cfg.head
-    return GGAHeadConfig(
-        voxel_size=tuple(h.voxel_size),
-        point_cloud_range=tuple(h.point_cloud_range),
-        grid_size=tuple(h.grid_size),
-        out_size_factor=h.out_size_factor,
-        max_objs=h.max_objs,
-        gaussian_overlap=h.gaussian_overlap,
-        min_radius=h.min_radius,
-        code_weights=tuple(h.code_weights),
-        srl_priors=_t(h.srl_priors),
-        loss_heatmap_weight=h.loss_heatmap_weight,
-        loss_bpl_weight=h.loss_bpl_weight,
-        loss_srl_weight=h.loss_srl_weight,
-        loss_pal_weight=h.loss_pal_weight,
-        pal_in_total_loss=h.pal_in_total_loss,
-    )
+from .models.builder import build_detector
+from .models.detectors.centerpoint_gga import GGAModelConfig, decode_detections
 
 
 def model_config_from_cfg(cfg) -> GGAModelConfig:
-    m = cfg.model
-    return GGAModelConfig(
-        voxel_size=tuple(m.voxel_size),
-        point_cloud_range=tuple(m.point_cloud_range),
-        max_points_per_voxel=m.max_points_per_voxel,
-        max_voxels=m.max_voxels,
-        sparse_shape=tuple(m.sparse_shape),
-        encoder_channels=_t(m.encoder_channels),
-        encoder_paddings=_t(m.encoder_paddings),
-        encoder_budgets=tuple(m.encoder_budgets),
-        encoder_out_budget=m.encoder_out_budget,
-        encoder_out_channels=m.encoder_out_channels,
-        backbone_channels=tuple(m.backbone_channels),
-        backbone_layers=tuple(m.backbone_layers),
-        backbone_strides=tuple(m.backbone_strides),
-        neck_channels=tuple(m.neck_channels),
-        neck_strides=tuple(m.neck_strides),
-        tasks=tuple(m.tasks),
-        share_conv_channel=m.share_conv_channel,
-        head=head_config_from_cfg(cfg),
-        **{k: cfg.test_cfg[k] for k in
-           ('max_per_task', 'score_threshold', 'nms_thr', 'post_max_size')})
+    _, mc = build_detector(cfg)
+    return mc
 
 
 def build_model_from_cfg(cfg, checkpoint_dir=None):
@@ -71,8 +26,7 @@ def build_model_from_cfg(cfg, checkpoint_dir=None):
     from .train.loop import create_train_state
     from .train.optim import build_optimizer
 
-    model_cfg = model_config_from_cfg(cfg)
-    model = GGADetector(model_cfg)
+    model, model_cfg = build_detector(cfg)
     dummy_p = np.zeros((1, 128, 4), np.float32)
     dummy_v = np.zeros((1, 128), bool)
     variables = model.init(jax.random.PRNGKey(0), dummy_p, dummy_v,

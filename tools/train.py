@@ -45,10 +45,7 @@ def main():
     from gga_tpu.config import Config
     from gga_tpu.data.dataset import KittiGGADataset
     from gga_tpu.data.sampler import GGADataBaseSampler
-    from gga_tpu.models.dense_heads.centerpoint_head_gga import \
-        GGAHeadConfig
-    from gga_tpu.models.detectors.centerpoint_gga import (GGAModelConfig,
-                                                          GGADetector)
+    from gga_tpu.models.builder import build_detector
     from gga_tpu.parallel.mesh import data_parallel_mesh, shard_batch
     from gga_tpu.train import checkpoints as ckpt
     from gga_tpu.train.loop import (create_train_state,
@@ -65,49 +62,7 @@ def main():
     with open(os.path.join(work_dir, 'config_dump.py'), 'w') as f:
         f.write(cfg.dump())
 
-    def _t(v):
-        return tuple(tuple(x) if isinstance(x, (list, tuple)) else x
-                     for x in v)
-
-    head = GGAHeadConfig(
-        voxel_size=tuple(cfg.head.voxel_size),
-        point_cloud_range=tuple(cfg.head.point_cloud_range),
-        grid_size=tuple(cfg.head.grid_size),
-        out_size_factor=cfg.head.out_size_factor,
-        max_objs=cfg.head.max_objs,
-        gaussian_overlap=cfg.head.gaussian_overlap,
-        min_radius=cfg.head.min_radius,
-        code_weights=tuple(cfg.head.code_weights),
-        srl_priors=_t(cfg.head.srl_priors),
-        loss_heatmap_weight=cfg.head.loss_heatmap_weight,
-        loss_bpl_weight=cfg.head.loss_bpl_weight,
-        loss_srl_weight=cfg.head.loss_srl_weight,
-        loss_pal_weight=cfg.head.loss_pal_weight,
-        pal_in_total_loss=cfg.head.pal_in_total_loss,
-    )
-    m = cfg.model
-    model_cfg = GGAModelConfig(
-        voxel_size=tuple(m.voxel_size),
-        point_cloud_range=tuple(m.point_cloud_range),
-        max_points_per_voxel=m.max_points_per_voxel,
-        max_voxels=m.max_voxels,
-        sparse_shape=tuple(m.sparse_shape),
-        encoder_channels=_t(m.encoder_channels),
-        encoder_paddings=_t(m.encoder_paddings),
-        encoder_budgets=tuple(m.encoder_budgets),
-        encoder_out_budget=m.encoder_out_budget,
-        encoder_out_channels=m.encoder_out_channels,
-        backbone_channels=tuple(m.backbone_channels),
-        backbone_layers=tuple(m.backbone_layers),
-        backbone_strides=tuple(m.backbone_strides),
-        neck_channels=tuple(m.neck_channels),
-        neck_strides=tuple(m.neck_strides),
-        tasks=tuple(m.tasks),
-        share_conv_channel=m.share_conv_channel,
-        head=head,
-        **{k: cfg.test_cfg[k] for k in
-           ('max_per_task', 'score_threshold', 'nms_thr', 'post_max_size')})
-    model = GGADetector(model_cfg)
+    model, model_cfg = build_detector(cfg)
 
     d = cfg.data
     sampler = GGADataBaseSampler(
@@ -153,7 +108,7 @@ def main():
         print(f'load_from: {"ok" if ok else "no checkpoint"}')
 
     with mesh:
-        step_fn = make_jitted_train_step(mesh, head)
+        step_fn = make_jitted_train_step(mesh, model_cfg.head)
         state = jax.device_put(state, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
         rng = jax.random.PRNGKey(cfg.seed + 1)
