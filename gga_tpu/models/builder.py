@@ -25,6 +25,7 @@ from .detectors.fcaf3d import FCAF3DDetector, FCAF3DModelConfig
 from .detectors.imvoxelnet import ImVoxelNet, ImVoxelNetConfig
 from .detectors.mvxnet import MVXNet, MVXNetConfig
 from .detectors.parta2 import PartA2Config, PartA2Detector
+from .detectors.point_rcnn import PointRCNNConfig, PointRCNNDetector
 from .detectors.pgd import PGDDetector, PGDModelConfig
 from .detectors.sassd import SASSD, SASSDConfig
 from .detectors.smoke import SMOKEDetector, SMOKEModelConfig
@@ -86,6 +87,7 @@ _register_family('PGDDetector', PGDModelConfig, PGDDetector)
 _register_family('VoteNet', VoteNetConfig, VoteNet)
 _register_family('FCAF3DDetector', FCAF3DModelConfig, FCAF3DDetector)
 _register_family('PartA2Detector', PartA2Config, PartA2Detector)
+_register_family('PointRCNNDetector', PointRCNNConfig, PointRCNNDetector)
 
 
 @MODELS.register(name='GGADetector')

@@ -173,7 +173,13 @@ def canonical_targets(cfg: PartA2BboxConfig, rois, gt_of_roi, ious,
     """
     label = (ious > cfg.cls_pos_thr).astype(jnp.float32)
     interval = (ious >= cfg.cls_neg_thr) & (ious <= cfg.cls_pos_thr)
-    label = jnp.where(interval, ious * 2 - 0.5, label)
+    # reference PartA2 writes the interval ramp as iou*2-0.5, which is
+    # (iou-neg)/(pos-neg) for its (0.75, 0.25); the general form also
+    # serves PointRCNN's (0.7, 0.25)
+    label = jnp.where(
+        interval,
+        (ious - cfg.cls_neg_thr) / (cfg.cls_pos_thr - cfg.cls_neg_thr),
+        label)
     label_weights = roi_valid.astype(jnp.float32)
 
     # canonical transform
