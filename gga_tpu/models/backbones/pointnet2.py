@@ -142,23 +142,73 @@ class PointNet2SASSG(nn.Module):
                     sa_xyz=sa_xyz, sa_features=sa_feats, sa_valid=sa_valid)
 
 
+def sample_points_multi_mode(xyz, features, valid, num_points, fps_mods,
+                             fps_sample_ranges):
+    """Multi-mode FPS over consecutive point segments (one sample).
+
+    Behavioral rebuild of mmcv's ``PointsSampler``
+    (consumed at /root/reference/mmdet3d/ops/pointnet_modules/
+    point_sa_module.py:82-90): each (mod, sample_range, npoint) triple
+    samples from the next ``sample_range`` points (-1 = the rest);
+    'D-FPS' uses xyz distance, 'F-FPS' distance over [xyz, features],
+    'FS' runs BOTH and concatenates (F-FPS half FIRST — 3DSSD's next
+    level slices that half by sample range).
+
+    Returns [sum(npoints)] int32 indices into the input order.
+    """
+    N = xyz.shape[0]
+    idx_parts = []
+    start = 0
+    for mod, rng, npt in zip(fps_mods, fps_sample_ranges, num_points):
+        end = N if rng == -1 else start + rng
+        sub_xyz = xyz[start:end]
+        sub_valid = valid[start:end]
+        if mod in ('F-FPS', 'FS'):
+            sub_f = jnp.concatenate([sub_xyz, features[start:end]], -1)
+            idx_parts.append(po.furthest_point_sample(
+                sub_f, sub_valid, npt) + start)
+        if mod in ('D-FPS', 'FS'):
+            idx_parts.append(po.furthest_point_sample(
+                sub_xyz, sub_valid, npt) + start)
+        start = end
+    return jnp.concatenate(idx_parts)
+
+
 class PointSAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction (mmdet3d PointSAModuleMSG,
     /root/reference/mmdet3d/ops/pointnet_modules/point_sa_module.py):
     one FPS sample set, several (radius, nsample, mlp) branches whose
-    max-pooled features concatenate, then a 1x1 aggregation layer."""
-    num_point: int
+    max-pooled features concatenate, then a 1x1 aggregation layer.
+    ``fps_mods``/``fps_sample_ranges`` enable 3DSSD's F-FPS/FS sampling
+    (``num_point`` is then per-mode; 'FS' outputs 2x its num_point)."""
+    num_point: Tuple[int, ...]
     radii: Tuple[float, ...]
     num_samples: Tuple[int, ...]
     mlp_channels: Tuple[Tuple[int, ...], ...]
     aggregation_channels: int = 0    # 0 = no aggregation conv
+    fps_mods: Tuple[str, ...] = ('D-FPS',)
+    fps_sample_ranges: Tuple[int, ...] = (-1,)
+    # both MSG consumers (PointRCNN, 3DSSD) configure the reference's
+    # sa_cfg with normalize_xyz=False
+    normalize_xyz: bool = False
 
     @nn.compact
-    def __call__(self, xyz, features, valid, train):
-        idx = jax.vmap(lambda p, v: po.furthest_point_sample(
-            p, v, self.num_point))(xyz, valid)
-        new_xyz = jnp.take_along_axis(xyz, idx[..., None], 1)
-        new_valid = jnp.take_along_axis(valid, idx, 1)
+    def __call__(self, xyz, features, valid, train, target_xyz=None,
+                 target_valid=None):
+        if target_xyz is not None:
+            # 'spec' aggregation (vote_head.py:192): group around given
+            # centers instead of sampling
+            new_xyz, new_valid = target_xyz, target_valid
+        else:
+            npts = (self.num_point,) if isinstance(self.num_point, int) \
+                else tuple(self.num_point)
+            feats_or_zero = features if features is not None else \
+                jnp.zeros(xyz.shape[:-1] + (0,), xyz.dtype)
+            idx = jax.vmap(lambda p, f, v: sample_points_multi_mode(
+                p, f, v, npts, self.fps_mods, self.fps_sample_ranges))(
+                xyz, feats_or_zero, valid)
+            new_xyz = jnp.take_along_axis(xyz, idx[..., None], 1)
+            new_valid = jnp.take_along_axis(valid, idx, 1)
 
         outs = []
         for bi, (radius, nsample, mlps) in enumerate(
@@ -170,7 +220,8 @@ class PointSAModuleMSG(nn.Module):
                     rel, feats = out, None
                 else:
                     rel, feats = out[..., :3], out[..., 3:]
-                rel = rel / radius  # normalize_xyz
+                if self.normalize_xyz:
+                    rel = rel / radius
                 return (rel if feats is None
                         else jnp.concatenate([rel, feats], -1)), mask
 
@@ -197,13 +248,14 @@ class PointSAModuleMSG(nn.Module):
 
 class PointNet2SAMSG(nn.Module):
     """Multi-scale-grouping PointNet++ encoder
-    (/root/reference/mmdet3d/models/backbones/pointnet2_sa_msg.py:13).
-    D-FPS sampling; F-FPS/FS fps_mods (3DSSD) are a round-2 item.
+    (/root/reference/mmdet3d/models/backbones/pointnet2_sa_msg.py:13)
+    with per-level fps_mods/fps_sample_range_lists ('D-FPS', 'F-FPS',
+    'FS' — 3DSSD's feature-FPS sampling).
 
     Returns dict(sa_xyz/sa_features/sa_valid lists) like PointNet2SASSG.
     """
     in_channels: int = 4
-    num_points: Tuple[int, ...] = (4096, 512, 256)
+    num_points: Sequence = (4096, 512, 256)
     radii: Sequence[Tuple[float, ...]] = (
         (0.2, 0.4, 0.8), (0.4, 0.8, 1.6), (1.6, 3.2, 4.8))
     num_samples: Sequence[Tuple[int, ...]] = (
@@ -213,6 +265,9 @@ class PointNet2SAMSG(nn.Module):
         ((64, 64, 128), (64, 64, 128), (64, 96, 128)),
         ((128, 128, 256), (128, 192, 256), (128, 256, 256)))
     aggregation_channels: Tuple[int, ...] = (64, 128, 256)
+    # None = D-FPS over the full range at every level
+    fps_mods: Sequence = None
+    fps_sample_range_lists: Sequence = None
 
     @nn.compact
     def __call__(self, points, valid, train: bool = True):
@@ -220,11 +275,20 @@ class PointNet2SAMSG(nn.Module):
         feats = points[..., 3:] if points.shape[-1] > 3 else None
         sa_xyz, sa_feats, sa_valid = [xyz], [feats], [valid]
         for i in range(len(self.num_points)):
+            npt = self.num_points[i]
+            mods = ('D-FPS',) if self.fps_mods is None \
+                else tuple(self.fps_mods[i])
+            ranges = (-1,) if self.fps_sample_range_lists is None \
+                else tuple(self.fps_sample_range_lists[i])
             x, f, v = PointSAModuleMSG(
-                self.num_points[i], tuple(self.radii[i]),
+                npt if isinstance(npt, int) else tuple(npt),
+                tuple(self.radii[i]),
                 tuple(self.num_samples[i]),
                 tuple(tuple(m) for m in self.sa_channels[i]),
-                self.aggregation_channels[i], name=f'sa{i}')(
+                self.aggregation_channels[i],
+                fps_mods=mods,
+                fps_sample_ranges=ranges,
+                name=f'sa{i}')(
                     sa_xyz[-1], sa_feats[-1], sa_valid[-1], train)
             sa_xyz.append(x)
             sa_feats.append(f)

@@ -28,6 +28,7 @@ from .detectors.parta2 import PartA2Config, PartA2Detector
 from .detectors.point_rcnn import PointRCNNConfig, PointRCNNDetector
 from .detectors.pgd import PGDDetector, PGDModelConfig
 from .detectors.sassd import SASSD, SASSDConfig
+from .detectors.ssd3d import SSD3DNet, SSD3DNetConfig
 from .detectors.smoke import SMOKEDetector, SMOKEModelConfig
 from .detectors.votenet import VoteNet, VoteNetConfig
 from .detectors.voxelnet import (PointPillars, PointPillarsConfig,
@@ -88,6 +89,7 @@ _register_family('VoteNet', VoteNetConfig, VoteNet)
 _register_family('FCAF3DDetector', FCAF3DModelConfig, FCAF3DDetector)
 _register_family('PartA2Detector', PartA2Config, PartA2Detector)
 _register_family('PointRCNNDetector', PointRCNNConfig, PointRCNNDetector)
+_register_family('SSD3DNet', SSD3DNetConfig, SSD3DNet)
 
 
 @MODELS.register(name='GGADetector')

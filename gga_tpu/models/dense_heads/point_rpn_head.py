@@ -78,7 +78,10 @@ def rpn_targets_single(cfg: PointRPNConfig, points_xyz, points_valid,
     assignment = jnp.argmax(inbox, axis=1)                   # first box
     positive = inbox.any(1) & points_valid
 
+    # enlarged_box semantics (base_box3d.py): dims grow by 2*w AND the
+    # bottom z drops by w, keeping the margin symmetric around the box
     enlarged = gt_boxes.at[:, 3:6].add(2 * cfg.enlarge_width)
+    enlarged = enlarged.at[:, 2].add(-cfg.enlarge_width)
     near = geo.points_in_rbbox(points_xyz, enlarged) & gt_valid[None, :]
     negative = ~near.any(1) & points_valid
 
