@@ -2,6 +2,6 @@
 /root/reference/configs/_base_/models/smoke.py)."""
 model = dict(
     type='SMOKEDetector',
+    backbone='dla',
     img_depth=34,
-    neck_channels=64,
 )

@@ -1,6 +1,6 @@
-"""SMOKE KITTI mono3d (behavioral mirror of
-/root/reference/configs/smoke/smoke_dla34_pytorch_dlaneck_gn-all_8x4_6x_kitti-mono3d.py;
-documented delta: ResNet backbone until DLANet lands)."""
+"""SMOKE KITTI mono3d (mirror of
+/root/reference/configs/smoke/smoke_dla34_pytorch_dlaneck_gn-all_8x4_6x_kitti-mono3d.py:
+DLA-34 gn-all + DLANeck, Adam lr 2.5e-4, step 50 of 72 epochs)."""
 _base_ = [
     '../_base_/models/smoke.py',
     '../_base_/datasets/kitti-mono3d.py',

@@ -101,3 +101,14 @@ def test_smoke_loss_zero_objects():
                         jnp.zeros((1, M, 2)), jnp.zeros((1, M), bool),
                         jnp.asarray(k[None]), jnp.asarray(trans[None]))
     assert np.isfinite(float(losses['loss']))
+
+
+def test_smoke_dla_backbone_forward():
+    """Reference-parity backbone path: DLA34 (tiny channels) + DLANeck
+    produce the stride-4 map the head consumes."""
+    cfg = SMOKEModelConfig.tiny_dla()
+    model = SMOKEDetector(cfg)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    preds = model.apply(variables, img, train=False)
+    assert preds['heatmap'].shape[1:3] == (16, 24)  # stride 4
