@@ -23,6 +23,7 @@ from .detectors.dynamic_voxelnet import (DynamicVoxelNet,
                                          DynamicVoxelNetConfig)
 from .detectors.fcaf3d import FCAF3DDetector, FCAF3DModelConfig
 from .detectors.imvoxelnet import ImVoxelNet, ImVoxelNetConfig
+from .detectors.monoflex import MonoFlexDetector, MonoFlexModelConfig
 from .detectors.mvxnet import MVXNet, MVXNetConfig
 from .detectors.parta2 import PartA2Config, PartA2Detector
 from .detectors.point_rcnn import PointRCNNConfig, PointRCNNDetector
@@ -90,6 +91,7 @@ _register_family('FCAF3DDetector', FCAF3DModelConfig, FCAF3DDetector)
 _register_family('PartA2Detector', PartA2Config, PartA2Detector)
 _register_family('PointRCNNDetector', PointRCNNConfig, PointRCNNDetector)
 _register_family('SSD3DNet', SSD3DNetConfig, SSD3DNet)
+_register_family('MonoFlexDetector', MonoFlexModelConfig, MonoFlexDetector)
 
 
 @MODELS.register(name='GGADetector')
