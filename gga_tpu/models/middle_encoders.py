@@ -84,6 +84,12 @@ class SparseEncoder(nn.Module):
                             stride=(2, 2, 2), padding=pad3,
                             out_budget=self.stage_budgets[i])(
                                 x, c, v, g, train)
+                        # budget guardrail: occupancy 1.0 means the
+                        # static budget saturated (coordinate-order
+                        # truncation, spatially biased — CLAUDE.md)
+                        self.sow('diagnostics', f'occupancy_stage{i}',
+                                 v.sum(-1).astype(jnp.float32).mean()
+                                 / self.stage_budgets[i])
 
                         def make_map_g(cc, vv, grid_now=g):
                             st = sp.SparseTensor(
@@ -112,6 +118,8 @@ class SparseEncoder(nn.Module):
             self.output_channels, 'spconv', kernel_size=(3, 1, 1),
             stride=(2, 1, 1), padding=(0, 0, 0),
             out_budget=self.out_budget)(x, c, v, g, train)
+        self.sow('diagnostics', 'occupancy_out',
+                 v.sum(-1).astype(jnp.float32).mean() / self.out_budget)
 
         # densify: [B, C, D, H, W] -> NHWC [B, H, W, C*D]
         nz, ny, nx = g

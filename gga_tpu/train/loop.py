@@ -61,13 +61,18 @@ def gga_train_step(state: TrainState, batch, rng, head_cfg):
         preds, updates = state.apply_fn(
             {'params': params, 'batch_stats': state.batch_stats},
             batch['points'], batch['points_valid'], train=True,
-            mutable=['batch_stats'])
+            mutable=['batch_stats', 'diagnostics'])
         targets = gga.build_targets(
             head_cfg, step_rng, batch['labels'], batch['obj_valid'],
             batch['init_pseudo'], batch['boxes_img'], batch['bdry_masks'],
             batch['lidar2img'])
         total, logs = gga.loss(head_cfg, preds, targets, batch['ibp_xy'],
                                batch['ibp_valid'])
+        # sparse-encoder budget occupancy guardrails (flax sow)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                updates.get('diagnostics', {})):
+            name = path[-2].key if len(path) >= 2 else 'diag'
+            logs[f'diag.{name}'] = jnp.asarray(leaf).mean()
         return total, (logs, updates['batch_stats'])
 
     (total, (logs, new_bs)), grads = jax.value_and_grad(

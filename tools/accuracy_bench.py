@@ -143,6 +143,44 @@ def evaluate_pseudo(model, cfg, state, ds_test, infos):
     }
 
 
+def score_stage1_labels(infos):
+    """KITTI AP of the stage-1 init pseudo labels themselves vs GT —
+    the weak-label generator's quality, training-free. Init pseudo z is
+    a GRAVITY center (gga_labels.py stage 4); convert to bottom-center
+    before the submission converter."""
+    import numpy as np
+
+    from gga_tpu.eval.kitti_eval import kitti_eval
+    from gga_tpu.eval.submission import detections_to_kitti_annos
+
+    cls_names = ('Pedestrian', 'Cyclist', 'Car')
+    dets = []
+    for info in infos:
+        a = info['annos']
+        n = len([x for x in a['name'] if x != 'DontCare'])
+        valid = np.asarray(a['GGA_mask_valid'], bool)[:n]
+        init = np.asarray(a['GGA_init_pseudo_label'],
+                          np.float64)[:n][valid].copy()
+        init[:, 2] -= init[:, 5] / 2
+        labels = np.array([cls_names.index(nm)
+                           for nm in np.asarray(a['name'])[:n][valid]])
+        dets.append(dict(boxes_3d=init, scores_3d=np.ones(len(init)),
+                         labels_3d=labels))
+    det_annos = detections_to_kitti_annos(dets, infos,
+                                          class_names=cls_names)
+    gt_annos = [info['annos'] for info in infos]
+    _, m = kitti_eval(gt_annos, det_annos, ['Car'],
+                      eval_types=('bbox', 'bev', '3d'))
+    return {
+        'AP11_3D_mod': m.get('KITTI/Car_3D_AP11_moderate_strict', 0.0),
+        'AP11_BEV_mod': m.get('KITTI/Car_BEV_AP11_moderate_strict', 0.0),
+        'AP11_3D_mod_loose': m.get('KITTI/Car_3D_AP11_moderate_loose',
+                                   0.0),
+        'AP11_BEV_mod_loose': m.get('KITTI/Car_BEV_AP11_moderate_loose',
+                                    0.0),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--scenes', type=int, default=48)
@@ -194,6 +232,10 @@ def main():
     tx = build_optimizer(total_steps=args.steps, lr=1e-3)
     state = create_train_state(model, variables, tx)
 
+    print('[1.5/4] scoring STAGE-1 init pseudo labels...')
+    stage1 = score_stage1_labels(infos)
+    print('  stage-1 labels:', json.dumps(stage1))
+
     print('[2/4] scoring UNTRAINED pseudo labels...')
     before = evaluate_pseudo(model, cfg, state, ds_test, infos)
     print('  untrained:', json.dumps(before))
@@ -233,6 +275,7 @@ def main():
 
     result = {
         'metric': 'synthetic_kitti_pseudo_label_AP11_3D_moderate',
+        'stage1_labels': stage1,
         'untrained': before, 'trained': after,
         'scenes': args.scenes, 'train_steps': step,
     }
@@ -246,6 +289,8 @@ def main():
                 'labels -> tiny-GGA weak training\n-> pseudo-label '
                 'matching -> KITTI eval vs synthetic 3D GT.\n\n')
             f.write(f'- scenes: {args.scenes}, train steps: {step}\n')
+            f.write(f'- stage-1 labels (generator quality): '
+                    f'{json.dumps(stage1)}\n')
             f.write(f'- untrained: {json.dumps(before)}\n')
             f.write(f'- trained:   {json.dumps(after)}\n')
     return result

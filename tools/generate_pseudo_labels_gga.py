@@ -28,6 +28,15 @@ def parse_args():
     p.add_argument('--eval', action='store_true',
                    help='also report KITTI AP vs the 3D GT (debug)')
     p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--tmpdir', default=None,
+                   help='shared dir for multi-process result collect '
+                        '(the reference multi_gpu_test tmpdir '
+                        'mechanism); default work-dir local')
+    p.add_argument('--rank', type=int, default=None,
+                   help='override process rank (defaults to '
+                        'jax.process_index())')
+    p.add_argument('--world', type=int, default=None,
+                   help='override process count')
     p.add_argument('--cfg-options', nargs='*', default=[])
     return p.parse_args()
 
@@ -41,7 +50,8 @@ def main():
     from gga_tpu.data.kitti.pseudo_labels import pseudo_label_matching
     from gga_tpu.eval.kitti_eval import kitti_eval
     from gga_tpu.eval.submission import detections_to_kitti_annos
-    from gga_tpu.tools_lib import build_model_from_cfg, run_inference
+    from gga_tpu.parallel.dist_eval import run_sharded_inference
+    from gga_tpu.tools_lib import build_model_from_cfg
     from gga_tpu.utils.env import setup_compilation_cache
 
     setup_compilation_cache()
@@ -55,7 +65,15 @@ def main():
         infos = pickle.load(f)
 
     bs = args.batch_size or cfg.data.samples_per_gpu * len(jax.devices())
-    detections = run_inference(model, model_cfg, state, cfg, infos, bs)
+    tmpdir = args.tmpdir or os.path.join(
+        cfg.get('work_dir') or './work_dirs/kitti_GGA', 'eval_parts')
+    detections = run_sharded_inference(
+        model, model_cfg, state, cfg, infos, bs, tmpdir,
+        rank=args.rank, world=args.world)
+    if detections is None:
+        print('non-zero rank: shard dumped, exiting '
+              '(rank 0 merges and matches)')
+        return
     det_annos = detections_to_kitti_annos(
         detections, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
 
