@@ -18,6 +18,7 @@ import dataclasses
 
 from ..config import MODELS
 from .dense_heads.centerpoint_head_gga import GGAHeadConfig
+from .detectors.centerpoint import CenterPointConfig, CenterPointDetector
 from .detectors.centerpoint_gga import GGADetector, GGAModelConfig
 from .detectors.dynamic_voxelnet import (DynamicVoxelNet,
                                          DynamicVoxelNetConfig)
@@ -92,6 +93,7 @@ _register_family('PartA2Detector', PartA2Config, PartA2Detector)
 _register_family('PointRCNNDetector', PointRCNNConfig, PointRCNNDetector)
 _register_family('SSD3DNet', SSD3DNetConfig, SSD3DNet)
 _register_family('MonoFlexDetector', MonoFlexModelConfig, MonoFlexDetector)
+_register_family('CenterPointDetector', CenterPointConfig, CenterPointDetector)
 
 
 @MODELS.register(name='GGADetector')

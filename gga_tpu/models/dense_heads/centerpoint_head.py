@@ -113,6 +113,8 @@ def decode_task(preds, *, voxel_size, pc_range, out_size_factor, max_num=100,
 
     boxes = jnp.stack([xs, ys, hei, dim[..., 0], dim[..., 1], dim[..., 2],
                        yaw], axis=-1)
+    if 'vel' in preds:
+        boxes = jnp.concatenate([boxes, gather(preds['vel'])], -1)
     valid = scores > score_threshold
     if post_center_range is not None:
         pcr = jnp.asarray(post_center_range, jnp.float32)
@@ -159,3 +161,91 @@ def merge_task_detections(task_dets, task_num_classes):
         scores=jnp.concatenate(scores, axis=1),
         labels=jnp.concatenate(labels, axis=1),
         valid=jnp.concatenate(valid, axis=1))
+
+
+# ---------------------------------------------------------------- training
+# Fully-supervised CenterPoint targets/loss (centerpoint_head.py
+# get_targets_single:343 + loss:629 of the reference's NON-GGA head):
+# gaussian heatmaps at GT centers, per-task anno_box regression
+# (subpixel offset, gravity z, log dims, sin/cos yaw [, velocity]).
+
+def centerpoint_targets_single(gt_boxes, gt_labels, gt_valid, *,
+                               task_classes, feat_hw, voxel_size,
+                               pc_range, out_size_factor,
+                               gaussian_overlap=0.1, min_radius=2,
+                               with_velocity=False):
+    """One sample -> per-task target dicts. gt_boxes [M, 7(+2)] lidar
+    BOTTOM-center."""
+    from ...core.gaussian import gaussian_radius, render_class_heatmaps
+
+    H, W = feat_hw
+    M = gt_labels.shape[0]
+    fx = voxel_size[0] * out_size_factor
+    fy = voxel_size[1] * out_size_factor
+    cx = (gt_boxes[:, 0] - pc_range[0]) / fx
+    cy = (gt_boxes[:, 1] - pc_range[1]) / fy
+    cxi = jnp.clip(cx.astype(jnp.int32), 0, W - 1)
+    cyi = jnp.clip(cy.astype(jnp.int32), 0, H - 1)
+    inb = gt_valid & (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+
+    radius = gaussian_radius((gt_boxes[:, 4] / fy, gt_boxes[:, 3] / fx),
+                             gaussian_overlap)
+    radius = jnp.maximum(radius.astype(jnp.int32), min_radius)
+
+    z_grav = gt_boxes[:, 2] + gt_boxes[:, 5] / 2
+    anno = [jnp.stack([cx - cxi, cy - cyi], -1),
+            z_grav[:, None],
+            jnp.log(jnp.maximum(gt_boxes[:, 3:6], 1e-6)),
+            jnp.stack([jnp.sin(gt_boxes[:, 6]),
+                       jnp.cos(gt_boxes[:, 6])], -1)]
+    if with_velocity:
+        anno.append(gt_boxes[:, 7:9])
+    anno_box = jnp.concatenate(anno, -1)
+
+    tasks = []
+    flag = 0
+    centers_int = jnp.stack([cxi, cyi], -1)
+    for ncls in task_classes:
+        local = gt_labels - flag
+        tmask = inb & (local >= 0) & (local < ncls)
+        hm = render_class_heatmaps(
+            centers_int, radius, jnp.where(tmask, local, 0), tmask,
+            ncls, (H, W)).transpose(1, 2, 0)          # -> [H, W, C]
+        tasks.append(dict(
+            heatmap=hm,
+            ind=jnp.where(tmask, cyi * W + cxi, 0),
+            anno_box=jnp.where(tmask[:, None], anno_box, 0.0),
+            mask=tmask))
+        flag += ncls
+    return tasks
+
+
+def centerpoint_loss(preds, targets, *, code_weights,
+                     loss_heatmap_weight=1.0, loss_bbox_weight=0.25):
+    """Batched supervised loss over per-task preds/targets."""
+    from ...core.gaussian import clip_sigmoid, gaussian_focal_loss
+
+    total = 0.0
+    logs = {}
+    cw = jnp.asarray(code_weights, jnp.float32)
+    for t, (tp, tt) in enumerate(zip(preds, targets)):
+        hm = clip_sigmoid(tp['heatmap'])
+        num_pos = jnp.maximum((tt['heatmap'] == 1.0).sum(), 1.0)
+        l_hm = gaussian_focal_loss(hm, tt['heatmap']).sum() / num_pos
+
+        keys = ['reg', 'height', 'dim', 'rot'] + (
+            ['vel'] if 'vel' in tp else [])
+        pred_map = jnp.concatenate([tp[k] for k in keys], -1)
+        B, H, W, C = pred_map.shape
+        flat = pred_map.reshape(B, H * W, C)
+        picked = jnp.take_along_axis(flat, tt['ind'][..., None], axis=1)
+        m = tt['mask'].astype(jnp.float32)[..., None]
+        l1 = jnp.abs(picked - tt['anno_box']) * m * cw[:C]
+        l_bbox = l1.sum() / jnp.maximum(m.sum(), 1.0)
+
+        logs[f'task{t}.loss_heatmap'] = l_hm * loss_heatmap_weight
+        logs[f'task{t}.loss_bbox'] = l_bbox * loss_bbox_weight
+        total = total + logs[f'task{t}.loss_heatmap'] \
+            + logs[f'task{t}.loss_bbox']
+    logs['loss'] = total
+    return total, logs
