@@ -186,6 +186,10 @@ def main():
     ap.add_argument('--scenes', type=int, default=48)
     ap.add_argument('--steps', type=int, default=300)
     ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--lr', type=float, default=2e-4,
+                    help='base lr (cyclic peak = 10x; the full-size '
+                         'reference uses 1.5e-3 at batch 256 — scale '
+                         'down for tiny batches)')
     ap.add_argument('--root', default='/tmp/gga_accuracy_kitti')
     ap.add_argument('--out', default=None, help='write ACCURACY.md here')
     ap.add_argument('--cpu', action='store_true')
@@ -229,7 +233,7 @@ def main():
     batch0.pop('sample_idx', None)
     variables = model.init(jax.random.PRNGKey(0), batch0['points'][:1],
                            batch0['points_valid'][:1], train=False)
-    tx = build_optimizer(total_steps=args.steps, lr=1e-3)
+    tx = build_optimizer(total_steps=args.steps, lr=args.lr)
     state = create_train_state(model, variables, tx)
 
     print('[1.5/4] scoring STAGE-1 init pseudo labels...')
