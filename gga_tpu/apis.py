@@ -109,3 +109,86 @@ def aug_inference_detector(model_bundle, points, scales=(0.95, 1.0, 1.05),
     return dict(boxes_3d=merged['boxes'][v],
                 scores_3d=merged['scores'][v],
                 labels_3d=merged['labels'][v])
+
+
+def inference_multi_modality_detector(model, model_cfg, variables, points,
+                                      img, lidar2img, max_points=2048):
+    """Run a points+image detector (MVXNet) on one sample
+    (apis/inference.inference_multi_modality_detector:155).
+
+    Args:
+        model/model_cfg/variables: an MVXNet bundle (models.builder).
+        points: [P, 4]; img: [H, W, 3]; lidar2img: [4, 4].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.dense_heads.anchor3d_head import decode, make_anchors
+
+    P = max_points
+    pts = np.zeros((1, P, 4), np.float32)
+    val = np.zeros((1, P), bool)
+    n = min(len(points), P)
+    pts[0, :n] = points[:n, :4]
+    val[0, :n] = True
+
+    @jax.jit
+    def infer(v, p, m, im, l2i):
+        preds = model.apply(v, p, m, im, l2i, train=False)
+        H, W = preds['cls'].shape[1:3]
+        anchors = make_anchors(model_cfg.head, (H, W))
+        return decode(model_cfg.head, preds, anchors)
+
+    out = jax.device_get(infer(
+        jax.device_put(variables), jnp.asarray(pts), jnp.asarray(val),
+        jnp.asarray(img[None]), jnp.asarray(lidar2img[None])))
+    v = out['valid'][0]
+    return dict(boxes_3d=out['boxes'][0][v],
+                scores_3d=out['scores'][0][v],
+                labels_3d=out['labels'][0][v])
+
+
+def inference_mono_3d_detector(model, model_cfg, variables, img, cam2img):
+    """Run a monocular detector (SMOKE / MonoFlex) on one image
+    (apis/inference.inference_mono_3d_detector:230)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def infer(v, im, k):
+        preds = model.apply(v, im, train=False)
+        if hasattr(model, 'decode'):
+            return model.decode(preds, k)
+        raise AttributeError('model has no decode()')
+
+    out = jax.device_get(infer(jax.device_put(variables),
+                               jnp.asarray(img[None]),
+                               jnp.asarray(cam2img[None])))
+    keep = out.get('valid', out['scores'] > 0.25)[0]
+    return dict(boxes_3d=out['boxes'][0][keep],
+                scores_3d=out['scores'][0][keep],
+                labels_3d=out['labels'][0][keep])
+
+
+def inference_segmentor(model, variables, points, max_points=40000):
+    """Run a 3D segmentor on one cloud
+    (apis/inference.inference_segmentor:289). Returns per-point labels
+    for the first len(points) entries."""
+    import jax
+    import jax.numpy as jnp
+
+    P = max_points
+    pts = np.zeros((1, P, points.shape[1]), np.float32)
+    val = np.zeros((1, P), bool)
+    n = min(len(points), P)
+    pts[0, :n] = points[:n]
+    val[0, :n] = True
+
+    @jax.jit
+    def infer(v, p, m):
+        logits = model.apply(v, p, m, train=False)
+        return jnp.argmax(logits, -1)
+
+    lab = jax.device_get(infer(jax.device_put(variables),
+                               jnp.asarray(pts), jnp.asarray(val)))
+    return lab[0, :n]
