@@ -24,6 +24,7 @@ from .detectors.dynamic_voxelnet import (DynamicVoxelNet,
                                          DynamicVoxelNetConfig)
 from .detectors.fcaf3d import FCAF3DDetector, FCAF3DModelConfig
 from .detectors.groupfree3d import GroupFree3DNet, GroupFree3DNetConfig
+from .detectors.h3dnet import H3DNet, H3DNetConfig
 from .detectors.imvotenet import ImVoteNet, ImVoteNetConfig
 from .detectors.imvoxelnet import ImVoxelNet, ImVoxelNetConfig
 from .detectors.monoflex import MonoFlexDetector, MonoFlexModelConfig
@@ -98,6 +99,7 @@ _register_family('MonoFlexDetector', MonoFlexModelConfig, MonoFlexDetector)
 _register_family('CenterPointDetector', CenterPointConfig, CenterPointDetector)
 _register_family('ImVoteNet', ImVoteNetConfig, ImVoteNet)
 _register_family('GroupFree3DNet', GroupFree3DNetConfig, GroupFree3DNet)
+_register_family('H3DNet', H3DNetConfig, H3DNet)
 
 
 @MODELS.register(name='GGADetector')

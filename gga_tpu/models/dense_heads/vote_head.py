@@ -127,6 +127,7 @@ class VoteHead(nn.Module):
         return dict(seed_xyz=seed_xyz, seed_valid=seed_valid,
                     vote_offset=offset, vote_xyz=vote_xyz,
                     agg_xyz=agg_xyz, agg_valid=agg_valid,
+                    agg_feats=agg_feat,
                     obj=obj, center=agg_xyz + center_off,
                     dir_cls=dir_cls, dir_res_norm=dir_res_norm,
                     size_cls=size_cls, size_res_norm=size_res_norm,
