@@ -213,3 +213,22 @@ class NuScenesDataset:
             with open(out_path, 'w') as f:
                 json.dump(submission, f)
         return submission
+
+
+LYFT_CLASSES = ('car', 'truck', 'bus', 'emergency_vehicle',
+                'other_vehicle', 'motorcycle', 'bicycle', 'pedestrian',
+                'animal')
+
+
+class LyftDataset(NuScenesDataset):
+    """Lyft L5 dataset (/root/reference/mmdet3d/datasets/lyft_dataset.py):
+    nuScenes-format info pkls with Lyft's 9 classes and no velocity
+    channels; evaluation via gga_tpu.eval.lyft_eval (kaggle mAP over
+    3D-IoU thresholds)."""
+    CLASSES = LYFT_CLASSES
+
+    def __init__(self, data_root, info_path, **kwargs):
+        kwargs.setdefault('with_velocity', False)
+        kwargs.setdefault('point_cloud_range',
+                          (-80, -80, -10, 80, 80, 10))
+        super().__init__(data_root, info_path, **kwargs)
