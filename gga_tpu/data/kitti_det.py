@@ -156,3 +156,58 @@ class WaymoDataset(KittiDetDataset):
         super().__init__(root, info_path, pc_range=pc_range,
                          pts_prefix=pts_prefix, max_points=max_points,
                          **kwargs)
+
+
+def object_noise(pts, boxes, labels, rng, *, translation_std=(1.0, 1.0, 0.5),
+                 rot_range=(-0.78539816, 0.78539816), num_try=100):
+    """Per-GT jitter with collision rejection (ObjectNoise,
+    /root/reference/mmdet3d/datasets/pipelines/transforms_3d.py:540):
+    each box tries up to ``num_try`` random (translation, yaw) samples
+    and keeps the first whose BEV footprint stays disjoint from every
+    other (noised) box; its interior points move rigidly with it."""
+
+    boxes = boxes.copy()
+    pts = pts.copy()
+    if len(boxes) == 0:
+        return pts, boxes
+
+    inbox = ng.points_in_rbbox(pts[:, :3], boxes)       # [N, G]
+    for g in range(len(boxes)):
+        for _ in range(num_try):
+            t = rng.normal(scale=translation_std, size=3)
+            ang = rng.uniform(*rot_range)
+            cand = boxes[g].copy()
+            cand[:3] += t
+            cand[6] += ang
+            others = np.delete(np.arange(len(boxes)), g)
+            if len(others) == 0 or not _bev_collides(
+                    cand, boxes[others]):
+                sel = inbox[:, g]
+                local = pts[sel, :3] - boxes[g, :3]
+                c, s = np.cos(ang), np.sin(ang)
+                rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]],
+                               np.float32)
+                pts[sel, :3] = local @ rot + cand[:3]
+                boxes[g] = cand
+                break
+    return pts, boxes
+
+
+def _bev_collides(box, others):
+    """Axis-aligned (nearest-BEV) overlap test, matching the noise
+    rejection's cheap collision check."""
+    def aabb(b):
+        # nearest-axis-aligned footprint: swap extents when the yaw is
+        # closer to +-pi/2 than to 0/pi
+        rot = np.abs((b[..., 6] + np.pi / 2) % np.pi - np.pi / 2)
+        swap = rot > np.pi / 4
+        dx = np.where(swap, b[..., 4], b[..., 3])
+        dy = np.where(swap, b[..., 3], b[..., 4])
+        return np.stack([b[..., 0] - dx / 2, b[..., 1] - dy / 2,
+                         b[..., 0] + dx / 2, b[..., 1] + dy / 2], -1)
+
+    a = aabb(box)
+    o = aabb(others)
+    ix = np.minimum(a[2], o[..., 2]) - np.maximum(a[0], o[..., 0])
+    iy = np.minimum(a[3], o[..., 3]) - np.maximum(a[1], o[..., 1])
+    return bool(((ix > 0) & (iy > 0)).any())

@@ -51,3 +51,28 @@ def test_kitti_det_aug_deterministic(tmp_path):
 def test_waymo_class_order_and_dims():
     assert WaymoDataset.CLASSES == ('Car', 'Cyclist', 'Pedestrian')
     assert WaymoDataset.POINT_DIM == 6
+
+
+def test_object_noise_moves_box_and_points():
+    from gga_tpu.data.kitti_det import object_noise
+    rng = np.random.RandomState(0)
+    boxes = np.array([[10.0, 0.0, -1.5, 4.0, 1.8, 1.5, 0.0]])
+    pts = np.concatenate(
+        [boxes[0, :3] + np.random.RandomState(1).uniform(
+            -0.4, 0.4, (50, 3)) * boxes[0, 3:6] + [0, 0, 0.75],
+         np.random.RandomState(2).uniform(30, 40, (20, 3))]).astype(
+        np.float32)
+    pts4 = np.concatenate([pts, np.zeros((70, 1), np.float32)], -1)
+    new_pts, new_boxes = object_noise(pts4, boxes, np.array([2]), rng)
+    # box moved, far background points untouched
+    assert not np.allclose(new_boxes[0], boxes[0])
+    np.testing.assert_array_equal(new_pts[50:], pts4[50:])
+    # interior points moved rigidly with the box center
+    delta = new_boxes[0, :3] - boxes[0, :3]
+    if abs(new_boxes[0, 6] - boxes[0, 6]) < 1e-6:
+        np.testing.assert_allclose(new_pts[:50, :3] - pts4[:50, :3],
+                                   np.tile(delta, (50, 1)), atol=1e-5)
+    # in-box point count preserved (rigid transform)
+    from gga_tpu.core import np_geometry as ng
+    assert ng.points_in_rbbox(new_pts[:, :3], new_boxes[:1])[:, 0].sum() \
+        == ng.points_in_rbbox(pts4[:, :3], boxes[:1])[:, 0].sum()
