@@ -20,7 +20,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops import points as po
 from .pointnet2 import SharedMLP
 
 

@@ -12,7 +12,7 @@ lists of static shapes — every class keeps its own [A_c] lane).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ import dataclasses
 from typing import Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..backbones.pointnet2 import PointSAModule, SharedMLP
