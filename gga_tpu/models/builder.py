@@ -38,6 +38,10 @@ from .detectors.smoke import SMOKEDetector, SMOKEModelConfig
 from .detectors.votenet import VoteNet, VoteNetConfig
 from .detectors.voxelnet import (PointPillars, PointPillarsConfig,
                                  SECONDDetector, SECONDNetConfig)
+from .backbones.dgcnn import DGCNNConfig, DGCNNSegmentor
+from .backbones.paconv import PAConvConfig, PAConvSegmentor
+from .segmentors.encoder_decoder import (EncoderDecoder3D,
+                                         EncoderDecoder3DConfig)
 
 
 def _tuplify(v):
@@ -100,6 +104,10 @@ _register_family('CenterPointDetector', CenterPointConfig, CenterPointDetector)
 _register_family('ImVoteNet', ImVoteNetConfig, ImVoteNet)
 _register_family('GroupFree3DNet', GroupFree3DNetConfig, GroupFree3DNet)
 _register_family('H3DNet', H3DNetConfig, H3DNet)
+_register_family('EncoderDecoder3D', EncoderDecoder3DConfig,
+                 EncoderDecoder3D)
+_register_family('DGCNNSegmentor', DGCNNConfig, DGCNNSegmentor)
+_register_family('PAConvSegmentor', PAConvConfig, PAConvSegmentor)
 
 
 @MODELS.register(name='GGADetector')
