@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument('--format-only', action='store_true')
     p.add_argument('--submission-dir', default=None)
     p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--aug-test', action='store_true',
+                   help='multi-scale + flip TTA (MultiScaleFlipAug3D '
+                        'equivalent; slower, per-scene)')
     p.add_argument('--cfg-options', nargs='*', default=[])
     return p.parse_args()
 
@@ -51,7 +54,21 @@ def main():
     infos = load_infos(cfg, args.info or cfg.data.train_info)
 
     bs = args.batch_size or cfg.data.samples_per_gpu * len(jax.devices())
-    detections = run_inference(model, model_cfg, state, cfg, infos, bs)
+    if args.aug_test:
+        from gga_tpu.apis import aug_inference_detector
+        from gga_tpu.data import pipelines as pl
+        bundle = (model, model_cfg, state, cfg)
+        detections = []
+        for i, info in enumerate(infos):
+            s = pl.load_sample(info, cfg.data_root,
+                               pts_prefix=cfg.data.pts_prefix)
+            det = aug_inference_detector(bundle, s['points'])
+            detections.append(det)
+            if i % 50 == 0:
+                print(f'  aug-test {i + 1}/{len(infos)}')
+    else:
+        detections = run_inference(model, model_cfg, state, cfg, infos,
+                                   bs)
     det_annos = detections_to_kitti_annos(
         detections, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
 
