@@ -46,13 +46,15 @@ class _BaseSegDataset:
     IGNORE_INDEX = 255
 
     def __init__(self, root, info_path, *, num_points=40000,
-                 load_dim=6, use_color=True, test_mode=False, seed=0):
+                 load_dim=6, use_color=True, patch_sample=False,
+                 test_mode=False, seed=0):
         with open(info_path, 'rb') as f:
             self.infos = pickle.load(f)
         self.root = root
         self.num_points = num_points
         self.load_dim = load_dim
         self.use_color = use_color
+        self.patch_sample = patch_sample
         self.test_mode = test_mode
         self._rng = np.random.RandomState(seed)
 
@@ -68,17 +70,35 @@ class _BaseSegDataset:
             np.float32).reshape(-1, self.load_dim)
         return pts
 
+    def patch_indices(self, pts, rng, block_size=1.5, num_try=10):
+        """IndoorPatchPointSample (transforms_3d.py:1150): a vertical
+        column block around a random point; retried until the block
+        holds at least 2%% of the scene's points."""
+        n = pts.shape[0]
+        for _ in range(num_try):
+            center = pts[rng.randint(n), :2]
+            half = block_size / 2
+            inb = ((np.abs(pts[:, 0] - center[0]) <= half)
+                   & (np.abs(pts[:, 1] - center[1]) <= half))
+            if inb.sum() >= max(int(0.02 * n), 1):
+                return np.where(inb)[0]
+        return np.arange(n)
+
     def __getitem__(self, idx):
         info = self.infos[idx]
         pts = self._load_points(info)
         sem = self._load_mask(info)
+        rng = self._rng
+        if self.patch_sample and not self.test_mode:
+            keep = self.patch_indices(pts, rng)
+            pts, sem = pts[keep], sem[keep]
         P = self.num_points
         n = pts.shape[0]
         if n >= P:
             sel = (np.arange(P) if self.test_mode
-                   else self._rng.choice(n, P, replace=False))
+                   else rng.choice(n, P, replace=False))
         else:
-            sel = self._rng.choice(max(n, 1), P, replace=True)
+            sel = rng.choice(max(n, 1), P, replace=True)
         pts = pts[sel]
         sem = sem[sel]
         feats = pts[:, :self.load_dim] if self.use_color else pts[:, :3]

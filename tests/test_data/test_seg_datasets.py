@@ -57,3 +57,25 @@ def test_semantickitti_label_remap(tmp_path):
     assert (lab[200:250] == 0).all()       # moving car -> car
     assert (lab[250:] == 255).all()        # unlabeled -> ignore
     assert set(SEMKITTI_LEARNING_MAP.values()) <= set(range(20))
+
+
+def test_s3dis_patch_sampling(tmp_path):
+    pts = np.zeros((400, 6), np.float32)
+    # two spatial clusters far apart
+    pts[:200, :2] = np.random.RandomState(0).uniform(0, 1, (200, 2))
+    pts[200:, :2] = 10 + np.random.RandomState(1).uniform(0, 1, (200, 2))
+    sem = np.zeros(400, np.int64)
+    pts.tofile(tmp_path / 'pts.bin')
+    sem.tofile(tmp_path / 'sem.bin')
+    sem.tofile(tmp_path / 'inst.bin')
+    infos = [dict(pts_path='pts.bin', pts_semantic_mask_path='sem.bin',
+                  pts_instance_mask_path='inst.bin')]
+    import pickle
+    with open(tmp_path / 'infos.pkl', 'wb') as f:
+        pickle.dump(infos, f)
+    ds = S3DISSegDataset(str(tmp_path), str(tmp_path / 'infos.pkl'),
+                         num_points=128, patch_sample=True)
+    s = ds[0]
+    xy = s['points'][:, :2]
+    # a 1.5 m block can only contain one of the two clusters
+    assert xy[:, 0].max() - xy[:, 0].min() <= 1.6
