@@ -18,7 +18,7 @@ import numpy as np
 from ..ops import sparse as sp
 from ..ops.scatter import pillar_scatter
 from .layers import (MaskedBatchNorm, SparseBasicBlock, SparseConvBlock,
-                     SubMConv3dMapped, conv_init)
+                     SubMConv3dMapped, conv_init, flatten_rulebook)
 
 
 class SparseEncoder(nn.Module):
@@ -185,8 +185,11 @@ class SparseUNet(nn.Module):
 
         oc, ov, og, fm, bm = jax.vmap(one, out_axes=(0, 0, None, 0, 0))(
             c, v)
-        x = jax.vmap(lambda f, fm1, bm1, ov1: sp.rulebook_conv(
-            f, w, fm1, bm1, ov1))(x, fm, bm, ov)
+        B, N, C = x.shape
+        M = ov.shape[-1]
+        fm_flat, bm_flat = flatten_rulebook(fm, bm, N)
+        x = sp.rulebook_conv(x.reshape(B * N, C), w, fm_flat, bm_flat,
+                             ov.reshape(B * M)).reshape(B, M, out_ch)
         x = MaskedBatchNorm()(x, ov, train)
         x = nn.relu(x)
         return x, oc, ov, og, (fm, bm)
@@ -276,9 +279,15 @@ class SparseUNet(nn.Module):
                 _, pv, _ = sets[i - 1]
                 w = self.param(f'inv_{i}', conv_init,
                                (27, x.shape[-1], ch[2]))
-                x = jax.vmap(lambda f, fm1, bm1, pv1, w=w:
-                             sp.sparse_inverse_conv(f, w, fm1, bm1, pv1))(
-                                 x, fm, bm, pv)
+                # inverse conv = rulebook conv with fwd/bwd swapped, so
+                # the flat maps swap roles: outputs are the [B*N]
+                # pre-downsample set, inputs the [B*M] downsampled one
+                B, M, C = x.shape
+                fm_flat, bm_flat = flatten_rulebook(fm, bm,
+                                                    bm.shape[-1])
+                x = sp.rulebook_conv(
+                    x.reshape(B * M, C), w, bm_flat, fm_flat,
+                    pv.reshape(-1)).reshape(B, pv.shape[-1], ch[2])
                 x = MaskedBatchNorm()(x, pv, train)
                 x = nn.relu(x)
             else:
@@ -297,8 +306,12 @@ class SparseUNet(nn.Module):
 
         oc, ov, og, fm, bm = jax.vmap(one, out_axes=(0, 0, None, 0, 0))(
             c, v)
-        x = jax.vmap(lambda f, fm1, bm1, ov1: sp.rulebook_conv(
-            f, w, fm1, bm1, ov1))(x, fm, bm, ov)
+        B, N, C = x.shape
+        M = ov.shape[-1]
+        fm_flat, bm_flat = flatten_rulebook(fm, bm, N)
+        x = sp.rulebook_conv(
+            x.reshape(B * N, C), w, fm_flat, bm_flat,
+            ov.reshape(B * M)).reshape(B, M, self.output_channels)
         x = MaskedBatchNorm()(x, ov, train)
         x = nn.relu(x)
         return x, oc, ov, og, (fm, bm)

@@ -1,0 +1,108 @@
+"""Batch-flattened sparse convs must equal the per-scene vmapped path.
+
+The modules in models/layers.py run their gather+GEMMs on [B*N, C] with
+row-offset maps (vmapped gathers are ~4x slower on TPU); this pins the
+flattening to the straightforward vmap semantics, including invalid
+rows, bias, and gradients through the custom VJPs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gga_tpu.models.layers import (SparseConv3d, SubMConv3dMapped,
+                                   flatten_nmap, flatten_rulebook)
+from gga_tpu.ops import sparse as sp
+
+GRID = (8, 16, 16)
+N = 120
+B = 3
+
+
+@pytest.fixture(scope='module')
+def scenes():
+    rng = np.random.RandomState(0)
+    coords, valids = [], []
+    for b in range(B):
+        n_act = [100, 120, 77][b]
+        lin = np.sort(rng.choice(np.prod(GRID), n_act, replace=False))
+        cc = np.stack([lin // (16 * 16), (lin % (16 * 16)) // 16,
+                       lin % 16], -1).astype(np.int32)
+        cc = np.concatenate(
+            [cc, np.full((N - n_act, 3), -1, np.int32)])
+        coords.append(cc)
+        valids.append(np.arange(N) < n_act)
+    feats = rng.randn(B, N, 6).astype(np.float32)
+    return (jnp.asarray(feats), jnp.asarray(np.stack(coords)),
+            jnp.asarray(np.stack(valids)))
+
+
+def test_subm_flat_equals_vmap(scenes):
+    feats, coords, valid = scenes
+
+    def mk(c, v):
+        st = sp.SparseTensor(jnp.zeros((N, 1), jnp.float32), c, v, GRID)
+        return sp.build_neighbor_map(st)
+
+    nmap, hit = jax.vmap(mk)(coords, valid)
+    mod = SubMConv3dMapped(10)
+    vars_ = mod.init(jax.random.PRNGKey(0), feats, valid, nmap, hit)
+    w = vars_['params']['kernel']
+
+    out_flat = mod.apply(vars_, feats, valid, nmap, hit)
+    out_vmap = jax.vmap(lambda f, v, m, h: sp.subm_conv_with_map(
+        f, v, m, h, w))(feats, valid, nmap, hit)
+    np.testing.assert_array_equal(np.asarray(out_flat),
+                                  np.asarray(out_vmap))
+
+    # gradients through the custom VJP agree too
+    g_flat = jax.grad(lambda f: (mod.apply(
+        vars_, f, valid, nmap, hit) ** 2).sum())(feats)
+    g_vmap = jax.grad(lambda f: (jax.vmap(
+        lambda ff, v, m, h: sp.subm_conv_with_map(ff, v, m, h, w))(
+        f, valid, nmap, hit) ** 2).sum())(feats)
+    np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_vmap),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_strided_flat_equals_vmap(scenes):
+    feats, coords, valid = scenes
+    mod = SparseConv3d(12, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                       out_budget=N)
+    vars_ = mod.init(jax.random.PRNGKey(1), feats, coords, valid, GRID)
+    w = vars_['params']['kernel']
+
+    of, oc, ov, og = mod.apply(vars_, feats, coords, valid, GRID)
+
+    def one(f, c, v):
+        st = sp.SparseTensor(f, c, v, GRID)
+        o = sp.sparse_conv_fast(st, w, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+                                N)
+        return o.features, o.coords, o.valid
+
+    of2, oc2, ov2 = jax.vmap(one)(feats, coords, valid)
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(oc2))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov2))
+    np.testing.assert_array_equal(np.asarray(of), np.asarray(of2))
+
+    g1 = jax.grad(lambda f: (mod.apply(
+        vars_, f, coords, valid, GRID)[0] ** 2).sum())(feats)
+    g2 = jax.grad(lambda f: (jax.vmap(one)(f, coords, valid)[0]
+                             ** 2).sum())(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flat_helpers_preserve_misses():
+    nmap = jnp.asarray(np.array([[[0, 1], [1, 0]]] * 2))   # [B=2,K=2,N=2]
+    hit = jnp.asarray(np.array([[[True, False], [True, True]]] * 2))
+    nf, hf = flatten_nmap(nmap, hit)
+    assert nf.shape == (2, 4) and hf.shape == (2, 4)
+    # scene 1 rows offset by N=2
+    np.testing.assert_array_equal(np.asarray(nf[0]), [0, 1, 2, 3])
+
+    fwd = jnp.asarray(np.array([[[1, -1]], [[0, -1]]]))    # [B=2,K=1,M=2]
+    bwd = jnp.asarray(np.array([[[-1, 0]], [[1, -1]]]))    # [B=2,K=1,N=2]
+    ff, bf = flatten_rulebook(fwd, bwd, 2)
+    np.testing.assert_array_equal(np.asarray(ff[0]), [1, -1, 2, -1])
+    np.testing.assert_array_equal(np.asarray(bf[0]), [-1, 0, 3, -1])
