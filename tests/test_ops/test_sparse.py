@@ -180,3 +180,30 @@ def test_strided_custom_vjp_matches_autodiff():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_ref[1]), np.asarray(g_fast[1]),
                                atol=1e-4)
+
+
+def test_symmetric_nmap_matches_full_resolution():
+    """build_neighbor_map resolves only half the offsets by sort and
+    mirrors the rest (pos[k][n] = m <=> pos[K-1-k][m] = n); it must
+    equal the direct all-offsets resolution, including ragged scenes."""
+    for seed, (grid, n_rows, n_act) in enumerate(
+            [((8, 16, 16), 120, 100), ((4, 7, 7), 50, 20)]):
+        rng = np.random.RandomState(seed)
+        lin = np.sort(rng.choice(np.prod(grid), n_act, replace=False))
+        nz, ny, nx = grid
+        cc = np.stack([lin // (ny * nx), (lin % (ny * nx)) // nx,
+                       lin % nx], -1).astype(np.int32)
+        cc = np.concatenate([cc, np.full((n_rows - n_act, 3), -1,
+                                         np.int32)])
+        vv = np.arange(n_rows) < n_act
+        st = sp.SparseTensor(jnp.zeros((n_rows, 2)), jnp.asarray(cc),
+                             jnp.asarray(vv), grid)
+        for ksz, pad in (((3, 3, 3), (1, 1, 1)), ((3, 3, 1), (1, 1, 0))):
+            pos, hit = sp.build_neighbor_map(st, ksz)
+            pos0, hit0 = sp._neighbor_pos_hit(
+                st, st.coords, st.valid, ksz, (1, 1, 1), pad)
+            np.testing.assert_array_equal(np.asarray(hit),
+                                          np.asarray(hit0))
+            np.testing.assert_array_equal(
+                np.where(np.asarray(hit), np.asarray(pos), -1),
+                np.where(np.asarray(hit0), np.asarray(pos0), -1))
