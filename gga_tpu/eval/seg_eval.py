@@ -7,10 +7,10 @@ at IoU 0.25 / 0.50 / mean over 0.50:0.95). The reference routes the
 instance metrics through the vendored ScanNet evaluator
 (scannet_utils/evaluate_semantic_instance.py); here the same matching
 (greedy by confidence, one GT per prediction at the IoU threshold) and
-interpolated-precision AP are implemented directly. Documented
-simplification: the ScanNet evaluator's optional min_region_sizes /
-distance_threshes knobs (defaults 100 points / inf) are fixed at their
-defaults.
+interpolated-precision AP are implemented directly. min_region_size
+(default 100 points, applied to GT and prediction instances alike)
+matches the ScanNet evaluator's min_region_sizes; its
+distance_threshes knob is fixed at the default (inf).
 """
 from __future__ import annotations
 
@@ -46,14 +46,17 @@ def seg_eval(gt_labels, seg_preds, label2cat, ignore_index):
         gt[gt == ignore_index] = -1
         hist += fast_hist(pred, gt, num_classes)
 
-    iou = np.diag(hist) / np.maximum(
-        hist.sum(1) + hist.sum(0) - np.diag(hist), 1)
+    # 0/0 -> NaN for classes absent from both GT and preds, so nanmean
+    # EXCLUDES them (reference per_class_iou / get_acc_cls semantics);
+    # clamping the denominator would deflate miou/acc_cls instead
+    with np.errstate(invalid='ignore', divide='ignore'):
+        iou = np.diag(hist) / (
+            hist.sum(1) + hist.sum(0) - np.diag(hist))
+        acc_per_cls = np.diag(hist) / hist.sum(1)
     ret = {str(label2cat[i]): float(iou[i]) for i in range(num_classes)}
     ret['miou'] = float(np.nanmean(iou))
     ret['acc'] = float(np.diag(hist).sum() / max(hist.sum(), 1))
-    with np.errstate(invalid='ignore'):
-        ret['acc_cls'] = float(np.nanmean(
-            np.diag(hist) / np.maximum(hist.sum(1), 1)))
+    ret['acc_cls'] = float(np.nanmean(acc_per_cls))
     return ret
 
 
@@ -112,13 +115,14 @@ def instance_seg_eval(gt_semantic_masks, gt_instance_masks,
         pl = np.asarray(pred_instance_labels[scene])
         ps = np.asarray(pred_instance_scores[scene])
 
-        # GT instances per class (big enough regions only)
+        # GT instances per class (regions below min_region_size are
+        # dropped, matching the ScanNet evaluator's min_region_sizes)
         gt_insts = {c: [] for c in range(n_cls)}
         for gi in np.unique(inst):
             m = inst == gi
             cls_vals = np.unique(sem[m])
             c = int(cls_vals[0])
-            if c < n_cls and m.sum() >= 1:
+            if c < n_cls and m.sum() >= min_region_size:
                 gt_insts[c].append(m)
         for c in range(n_cls):
             npos[c] += len(gt_insts[c])
@@ -133,7 +137,7 @@ def instance_seg_eval(gt_semantic_masks, gt_instance_masks,
                 taken = np.zeros(len(gts), bool)
                 for i in order:
                     mask = pm[i]
-                    if mask.sum() < 1:
+                    if mask.sum() < min_region_size:
                         continue
                     best, best_j = 0.0, -1
                     for j, g in enumerate(gts):

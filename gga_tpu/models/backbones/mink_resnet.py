@@ -118,7 +118,9 @@ class MinkBasicBlock(nn.Module):
                                             (2, 2, 2), (0, 0, 0))
 
             pos1, hit1 = jax.vmap(resolve)(feats, coords, valid, oc, ov)
-            p_f, h_f = flatten_nmap(pos1, hit1)
+            # the map indexes into the INPUT set (N rows/scene), not the
+            # output set (M rows/scene) — pass n_in or scenes cross-talk
+            p_f, h_f = flatten_nmap(pos1, hit1, n_in=N)
             ff = feats.reshape(B * N, cin)
             idf = jnp.where(h_f[0][:, None], ff[p_f[0]],
                             jnp.zeros((), ff.dtype)).reshape(B, M, cin)

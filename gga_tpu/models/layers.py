@@ -25,14 +25,23 @@ from ..ops import sparse as sp
 conv_init = nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform')
 
 
-def flatten_nmap(nmap, hit):
-    """Batched neighbor map [B, K, N] -> flat [K, B*N] with rows offset
-    into the flattened [B*N, C] feature array (misses keep index 0 —
-    ``hit`` masks them)."""
-    B, K, N = nmap.shape
-    offs = (jnp.arange(B, dtype=nmap.dtype) * N)[:, None, None]
-    nmap_flat = (nmap + offs).transpose(1, 0, 2).reshape(K, B * N)
-    return nmap_flat, hit.transpose(1, 0, 2).reshape(K, B * N)
+def flatten_nmap(nmap, hit, n_in=None):
+    """Batched neighbor map [B, K, M] -> flat [K, B*M] with rows offset
+    into the flattened [B*n_in, C] feature array (misses keep index 0 —
+    ``hit`` masks them).
+
+    ``n_in`` is the per-scene row count of the array the map indexes
+    INTO; it defaults to the map's own last dim (the submanifold case
+    where query and input sets coincide). Pass it explicitly whenever
+    the output set size differs from the input set size (e.g. a 1x1
+    stride-2 projection), or every scene b>0 gathers from the wrong
+    scene's rows.
+    """
+    B, K, M = nmap.shape
+    rows = M if n_in is None else n_in
+    offs = (jnp.arange(B, dtype=nmap.dtype) * rows)[:, None, None]
+    nmap_flat = (nmap + offs).transpose(1, 0, 2).reshape(K, B * M)
+    return nmap_flat, hit.transpose(1, 0, 2).reshape(K, B * M)
 
 
 def flatten_rulebook(fwd_map, bwd_map, n_in):

@@ -73,6 +73,20 @@ def run_sharded_inference(model, model_cfg, state, cfg, infos, batch_size,
 
     rank = jax.process_index() if rank is None else rank
     world = jax.process_count() if world is None else world
+    # clear stale part files so a rerun with the same tmpdir cannot
+    # silently merge a previous run's shards (the reference uses a fresh
+    # random tmpdir; here the dir is caller-chosen, so rank 0 scrubs it)
+    if rank == 0 and os.path.isdir(tmpdir):
+        for r in range(world):
+            stale = os.path.join(tmpdir, f'part_{r}.pkl')
+            if os.path.exists(stale):
+                os.remove(stale)
+    if world > 1 and jax.process_count() == world:
+        # real multi-host launch: barrier so no rank dumps before the
+        # scrub (plain multi-process launches rely on rank 0 scrubbing
+        # before its own — equally long — inference pass)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('gga_dist_eval_scrub')
     local = [infos[i] for i in shard_indices(len(infos), rank, world)]
     part = run_inference(model, model_cfg, state, cfg, local, batch_size,
                          max_points=max_points)

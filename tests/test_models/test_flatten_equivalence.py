@@ -106,3 +106,32 @@ def test_flat_helpers_preserve_misses():
     ff, bf = flatten_rulebook(fwd, bwd, 2)
     np.testing.assert_array_equal(np.asarray(ff[0]), [1, -1, 2, -1])
     np.testing.assert_array_equal(np.asarray(bf[0]), [-1, 0, 3, -1])
+
+
+def test_flatten_nmap_n_in_differs_from_map_width():
+    # map of M=2 query rows into n_in=5 input rows per scene: scene 1's
+    # rows must offset by 5, not by the map width 2
+    nmap = jnp.asarray(np.array([[[3, 4]], [[0, 2]]]))     # [B=2,K=1,M=2]
+    hit = jnp.ones((2, 1, 2), bool)
+    nf, _ = flatten_nmap(nmap, hit, n_in=5)
+    np.testing.assert_array_equal(np.asarray(nf[0]), [3, 4, 5, 7])
+
+
+def test_mink_block_stride2_scene_isolation(scenes):
+    """Stride-2 MinkBasicBlock with out_budget != N: perturbing scene 0's
+    features must not change scene 1's output (the ADVICE-r2 high bug:
+    the 1x1 identity projection flattened its gather map with the
+    output-set width instead of the input row count)."""
+    from gga_tpu.models.backbones.mink_resnet import MinkBasicBlock
+    feats, coords, valid = scenes
+    mod = MinkBasicBlock(8, stride=2, out_budget=N // 2)
+    vars_ = mod.init(jax.random.PRNGKey(2), feats, coords, valid, GRID,
+                     False)
+
+    out0 = mod.apply(vars_, feats, coords, valid, GRID, False)[0]
+    bumped = feats.at[0].add(100.0)
+    out1 = mod.apply(vars_, bumped, coords, valid, GRID, False)[0]
+    delta_other = np.abs(np.asarray(out1[1:]) - np.asarray(out0[1:]))
+    assert delta_other.max() == 0.0
+    # and scene 0 did change (the perturbation reaches the output)
+    assert np.abs(np.asarray(out1[0]) - np.asarray(out0[0])).max() > 0
