@@ -435,13 +435,20 @@ def kitti_eval(gt_annos, dt_annos, current_classes,
                     if mbbox is not None:
                         ret[f'{prefix}_2D_{tag}_{postfix}'] = \
                             mbbox[j, idx, i]
-        if len(classes_int) > 1 and m3d is not None:
-            ov = m3d.mean(axis=0)
+        if len(classes_int) > 1:
+            # class-mean APs, strict-overlap column (eval.py:776-816)
             result += ('\nOverall {}@{}, {}, {}:\n'.format(
                 tag, *difficulty))
-            result += '3d   {}:{:.4f}, {:.4f}, {:.4f}\n'.format(
-                tag, *ov[:, 0])
-            for idx in range(3):
-                ret[f'KITTI/Overall_3D_{tag}_{difficulty[idx]}'] = \
-                    ov[idx, 0]
+            for label, arr in (('2D', mbbox), ('BEV', mbev), ('3D', m3d),
+                               ('aos', maos)):
+                if arr is None:
+                    continue
+                ov = arr.mean(axis=0)
+                result += '{:4s} {}:{:.4f}, {:.4f}, {:.4f}\n'.format(
+                    label.lower(), tag, *ov[:, 0])
+                if label == 'aos':   # printed but not keyed (eval.py:797)
+                    continue
+                for idx in range(3):
+                    ret[f'KITTI/Overall_{label}_{tag}_'
+                        f'{difficulty[idx]}'] = ov[idx, 0]
     return result, ret
