@@ -7,9 +7,12 @@ the 2D GT by image-plane IoU, dump the pseudo info pkl, and report KITTI AP
 against the (debug-only) 3D GT.
 
 Usage:
-    python tools/generate_pseudo_labels_gga.py configs/gga/gga_kitti.py \
-        --checkpoint work_dirs/kitti_GGA/checkpoints \
-        --out data/kitti_pseudo/kitti_infos_trainval_GGA_pseudo.pkl
+    python tools/generate_pseudo_labels_gga.py \
+        configs/gga/gga_kitti_matching.py \
+        --checkpoint work_dirs/kitti_GGA/checkpoints [--eval]
+
+The matching config names the split + pseudo-pkl destination
+(``matching = dict(info=..., out=...)``); ``--out`` overrides.
 """
 import argparse
 import os
@@ -60,7 +63,12 @@ def main():
         dict(kv.split('=', 1) for kv in args.cfg_options))
 
     model, model_cfg, state = build_model_from_cfg(cfg, args.checkpoint)
-    info_path = os.path.join(cfg.data_root, cfg.data.train_info)
+    # the matching config (configs/gga/gga_kitti_matching.py) names the
+    # split to run over + the pseudo-pkl destination; a plain training
+    # config falls back to its train info
+    matching = cfg.get('matching', {})
+    info_path = os.path.join(cfg.data_root,
+                             matching.get('info', cfg.data.train_info))
     with open(info_path, 'rb') as f:
         infos = pickle.load(f)
 
@@ -77,7 +85,7 @@ def main():
     det_annos = detections_to_kitti_annos(
         detections, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
 
-    out = args.out or os.path.join(
+    out = args.out or matching.get('out') or os.path.join(
         cfg.data_root, '..', 'kitti_pseudo',
         'kitti_infos_trainval_GGA_pseudo.pkl')
     pseudo_infos, gt_annos = pseudo_label_matching(infos, det_annos,

@@ -4,9 +4,11 @@ Equivalent of training configs/fcaf3d/fcaf3d_8x2_sunrgbd-3d-10class.py in
 the reference: AdamW (lr 1e-3, wd 1e-4), grad clip 10, step decay at
 epochs 8 and 11 of 12 (mmdet3d fcaf3d schedule).
 
+Fully config-driven like tools/train.py; flags override config values.
+
 Usage:
-    python tools/train_fcaf3d.py --info data/sunrgbd/sunrgbd_infos_train.pkl \
-        --data-root data/sunrgbd [--tiny] [--max-steps N]
+    python tools/train_fcaf3d.py configs/gga/gga_sunrgbd.py \
+        [--info PKL] [--tiny] [--max-steps N] [--cfg-options k=v ...]
 """
 import argparse
 import json
@@ -20,17 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument('--info', required=True)
-    p.add_argument('--data-root', default='data/sunrgbd')
-    p.add_argument('--work-dir', default='./work_dirs/sunrgbd_fcaf3d')
+    p.add_argument('config', nargs='?', default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        '..', 'configs', 'gga', 'gga_sunrgbd.py'))
+    p.add_argument('--info', default=None,
+                   help='override cfg.data.info')
+    p.add_argument('--data-root', default=None)
+    p.add_argument('--work-dir', default=None)
     p.add_argument('--batch-size', type=int, default=None)
-    p.add_argument('--epochs', type=int, default=12)
-    p.add_argument('--repeat', type=int, default=3,
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--repeat', type=int, default=None,
                    help='RepeatDataset times (ref: 3)')
-    p.add_argument('--lr', type=float, default=0.001)
-    p.add_argument('--num-points', type=int, default=20000)
+    p.add_argument('--lr', type=float, default=None)
+    p.add_argument('--num-points', type=int, default=None)
     p.add_argument('--max-steps', type=int, default=None)
     p.add_argument('--tiny', action='store_true')
+    p.add_argument('--cfg-options', nargs='*', default=[])
     return p.parse_args()
 
 
@@ -41,7 +48,9 @@ def main():
     import numpy as np
     import optax
 
+    from gga_tpu.config import Config
     from gga_tpu.data.sunrgbd import SunRgbdDataset
+    from gga_tpu.models.builder import build_detector
     from gga_tpu.models.dense_heads import fcaf3d_head as fh
     from gga_tpu.models.detectors.fcaf3d import (FCAF3DModelConfig,
                                                  FCAF3DDetector)
@@ -51,27 +60,43 @@ def main():
     from gga_tpu.utils.env import setup_compilation_cache
 
     setup_compilation_cache()
-    os.makedirs(args.work_dir, exist_ok=True)
-    cfg = FCAF3DModelConfig.tiny() if args.tiny else FCAF3DModelConfig()
-    model = FCAF3DDetector(cfg)
+    c = Config.fromfile(args.config)
+    c.merge_from_options(
+        dict(kv.split('=', 1) for kv in args.cfg_options))
+    work_dir = args.work_dir or c.get('work_dir',
+                                      './work_dirs/sunrgbd_fcaf3d')
+    os.makedirs(work_dir, exist_ok=True)
+    if args.tiny:
+        cfg = FCAF3DModelConfig.tiny()
+        model = FCAF3DDetector(cfg)
+    else:
+        model, cfg = build_detector(c)
 
-    ds = SunRgbdDataset(args.data_root, args.info,
-                        num_points=args.num_points,
+    info = args.info or c.data.info
+    data_root = args.data_root or c.data.get('data_root', 'data/sunrgbd')
+    num_points = args.num_points or c.data.get('num_points', 20000)
+    ds = SunRgbdDataset(data_root, info, num_points=num_points,
                         max_objs=cfg.head.max_objs)
     mesh = data_parallel_mesh()
     n_dev = len(mesh.devices.reshape(-1))
-    batch_size = args.batch_size or 2 * n_dev
-    steps_per_epoch = max(len(ds) * args.repeat // batch_size, 1)
-    total_steps = steps_per_epoch * args.epochs
+    batch_size = args.batch_size or c.data.get('samples_per_gpu', 2) * n_dev
+    epochs = args.epochs or c.get('max_epochs', 12)
+    repeat = args.repeat or c.data.get('repeat', 3)
+    steps_per_epoch = max(len(ds) * repeat // batch_size, 1)
+    total_steps = steps_per_epoch * epochs
     if args.max_steps:
         total_steps = min(total_steps, args.max_steps)
     print(f'devices={n_dev} batch={batch_size} total={total_steps}')
 
-    bounds = {int(total_steps * 8 / 12): 0.1,
-              int(total_steps * 11 / 12): 0.1}
-    sched = optax.piecewise_constant_schedule(args.lr, bounds)
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.adamw(sched, weight_decay=1e-4))
+    opt = c.get('optimizer', {})
+    lr = args.lr or opt.get('lr', 0.001)
+    gamma = opt.get('lr_gamma', 0.1)
+    bounds = {steps_per_epoch * s: gamma
+              for s in opt.get('lr_steps', (8, 11))}
+    sched = optax.piecewise_constant_schedule(lr, bounds)
+    tx = optax.chain(
+        optax.clip_by_global_norm(opt.get('grad_clip', 10.0)),
+        optax.adamw(sched, weight_decay=opt.get('weight_decay', 1e-4)))
 
     item = ds[0]
     variables = model.init(
@@ -108,8 +133,8 @@ def main():
     step_fn = jax.jit(train_step, in_shardings=(repl, repl, repl, bsh),
                       donate_argnums=(0, 2))
 
-    ckpt_dir = os.path.join(args.work_dir, 'checkpoints')
-    log_path = os.path.join(args.work_dir, 'train_log.jsonl')
+    ckpt_dir = os.path.join(work_dir, 'checkpoints')
+    log_path = os.path.join(work_dir, 'train_log.jsonl')
     step = 0
     t_last = time.perf_counter()
     with mesh:
@@ -117,7 +142,7 @@ def main():
         bstats = jax.device_put(bstats, repl)
         opt_state = jax.device_put(opt_state, repl)
         done = False
-        for epoch in range(args.epochs * args.repeat):
+        for epoch in range(epochs * repeat):
             if done:
                 break
             for batch in ds.epoch_batches(batch_size, seed=epoch):

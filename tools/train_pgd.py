@@ -2,11 +2,12 @@
 
 Equivalent of ``dist_train.sh configs/gga/gga_pdg.py 8`` in the reference:
 trains the PGD monocular detector on the pseudo-labelled infos (stage 3
-output), SGD + step decay + warmup over a data-parallel mesh.
+output), SGD + step decay + warmup over a data-parallel mesh. Fully
+config-driven like tools/train.py; flags override config values.
 
 Usage:
-    python tools/train_pgd.py --info data/kitti_pseudo/..._pseudo.pkl \
-        --data-root data/kitti [--work-dir D] [--max-steps N] [--tiny]
+    python tools/train_pgd.py configs/gga/gga_pdg.py \
+        [--info PKL] [--max-steps N] [--tiny] [--cfg-options k=v ...]
 """
 import argparse
 import json
@@ -20,17 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument('--info', required=True)
-    p.add_argument('--data-root', default='data/kitti')
-    p.add_argument('--work-dir', default='./work_dirs/kitti_pgd')
+    p.add_argument('config', nargs='?', default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        '..', 'configs', 'gga', 'gga_pdg.py'))
+    p.add_argument('--info', default=None,
+                   help='override cfg.data.info (pseudo-label pkl)')
+    p.add_argument('--data-root', default=None)
+    p.add_argument('--work-dir', default=None)
     p.add_argument('--batch-size', type=int, default=None)
-    p.add_argument('--epochs', type=int, default=48)
-    p.add_argument('--lr', type=float, default=0.001)
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--lr', type=float, default=None)
     p.add_argument('--max-steps', type=int, default=None)
     p.add_argument('--resume', action='store_true')
     p.add_argument('--tiny', action='store_true')
     p.add_argument('--min-score', type=float, default=None,
                    help='filter pseudo labels below this score')
+    p.add_argument('--cfg-options', nargs='*', default=[])
     return p.parse_args()
 
 
@@ -41,7 +47,9 @@ def main():
     import numpy as np
     import optax
 
+    from gga_tpu.config import Config
     from gga_tpu.data.kitti.mono_dataset import KittiMonoDataset
+    from gga_tpu.models.builder import build_detector
     from gga_tpu.models.dense_heads import pgd_head as ph
     from gga_tpu.models.detectors.pgd import PGDModelConfig, PGDDetector
     from gga_tpu.parallel.mesh import data_parallel_mesh, shard_batch
@@ -49,31 +57,48 @@ def main():
     from gga_tpu.utils.env import setup_compilation_cache
 
     setup_compilation_cache()
-    os.makedirs(args.work_dir, exist_ok=True)
-    cfg = PGDModelConfig.tiny() if args.tiny else PGDModelConfig()
-    model = PGDDetector(cfg)
+    c = Config.fromfile(args.config)
+    c.merge_from_options(
+        dict(kv.split('=', 1) for kv in args.cfg_options))
+    work_dir = args.work_dir or c.get('work_dir', './work_dirs/kitti_pgd')
+    os.makedirs(work_dir, exist_ok=True)
+    if args.tiny:
+        cfg = PGDModelConfig.tiny()
+        model = PGDDetector(cfg)
+    else:
+        model, cfg = build_detector(c)
 
-    ds = KittiMonoDataset(args.data_root, args.info,
-                          min_score=args.min_score)
+    info = args.info or c.data.info
+    data_root = args.data_root or c.data.get('data_root', 'data/kitti')
+    min_score = (args.min_score if args.min_score is not None
+                 else c.data.get('min_score'))
+    ds = KittiMonoDataset(data_root, info, min_score=min_score)
     mesh = data_parallel_mesh()
     n_dev = len(mesh.devices.reshape(-1))
-    batch_size = args.batch_size or 4 * n_dev
+    batch_size = args.batch_size or c.data.samples_per_gpu * n_dev
+    epochs = args.epochs or c.get('max_epochs', 48)
     steps_per_epoch = max(len(ds) // batch_size, 1)
-    total_steps = steps_per_epoch * args.epochs
+    total_steps = steps_per_epoch * epochs
     if args.max_steps:
         total_steps = min(total_steps, args.max_steps)
     print(f'devices={n_dev} batch={batch_size} total={total_steps}')
 
     # SGD + linear warmup + step decay (gga_pdg.py:152-166)
-    bounds = [int(total_steps * 32 / 48), int(total_steps * 44 / 48)]
+    opt = c.get('optimizer', {})
+    lr = args.lr or opt.get('lr', 0.001)
+    warmup = opt.get('warmup_iters', 500)
+    gamma = opt.get('lr_gamma', 0.1)
+    bounds = [steps_per_epoch * s for s in opt.get('lr_steps', (32, 44))]
     sched = optax.join_schedules([
-        optax.linear_schedule(args.lr / 3, args.lr, 500),
+        optax.linear_schedule(lr * opt.get('warmup_ratio', 1 / 3), lr,
+                              warmup),
         optax.piecewise_constant_schedule(
-            args.lr, {bounds[0] - 500: 0.1, bounds[1] - 500: 0.1}),
-    ], [500])
-    tx = optax.chain(optax.clip_by_global_norm(35.0),
-                     optax.sgd(sched, momentum=0.9),
-                     optax.add_decayed_weights(1e-4))
+            lr, {max(b - warmup, 1): gamma for b in bounds}),
+    ], [warmup])
+    tx = optax.chain(optax.clip_by_global_norm(opt.get('grad_clip', 35.0)),
+                     optax.sgd(sched, momentum=opt.get('momentum', 0.9)),
+                     optax.add_decayed_weights(
+                         opt.get('weight_decay', 1e-4)))
 
     item = ds[0]
     variables = model.init(jax.random.PRNGKey(0), item['image'][None],
@@ -127,8 +152,8 @@ def main():
                       in_shardings=(repl, repl, repl, bsh),
                       donate_argnums=(0, 2))
 
-    ckpt_dir = os.path.join(args.work_dir, 'checkpoints')
-    log_path = os.path.join(args.work_dir, 'train_log.jsonl')
+    ckpt_dir = os.path.join(work_dir, 'checkpoints')
+    log_path = os.path.join(work_dir, 'train_log.jsonl')
     step = 0
     t_last = time.perf_counter()
     with mesh:
@@ -136,7 +161,7 @@ def main():
         bstats = jax.device_put(bstats, repl)
         opt_state = jax.device_put(opt_state, repl)
         done = False
-        for epoch in range(args.epochs):
+        for epoch in range(epochs):
             if done:
                 break
             for batch in ds.epoch_batches(batch_size, seed=epoch):
