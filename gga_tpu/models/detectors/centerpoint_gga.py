@@ -58,6 +58,30 @@ class GGAModelConfig:
     compute_dtype: str = 'float32'
 
     @classmethod
+    def small(cls):
+        """Accuracy-bench variant: full 70.4x80m range at 0.1m voxels
+        (0.8m feature cells) with budgets sized for ~8k-point scenes so
+        NOTHING truncates. Exists because tiny()'s 512-voxel budget
+        silently drops ~90% of a synthetic scene (coordinate-order
+        truncation) and its 2.56m feature cells are wider than a car —
+        both made weak training look like it collapsed (ACCURACY.md r2)
+        when the model simply could not see most of the scene."""
+        head = gga.GGAHeadConfig(
+            grid_size=(704, 800, 40), max_objs=16,
+            voxel_size=(0.1, 0.1, 0.1))
+        return cls(
+            voxel_size=(0.1, 0.1, 0.1),
+            max_voxels=8192, sparse_shape=(41, 800, 704),
+            encoder_channels=((16, 16), (16, 32), (32, 64), (64,)),
+            encoder_paddings=((0, 1), (0, 1), (0, (0, 1, 1)), (0,)),
+            encoder_budgets=(8192, 8192, 6144), encoder_out_budget=6144,
+            encoder_out_channels=64,
+            backbone_channels=(64, 128), backbone_layers=(2, 2),
+            neck_channels=(64, 64),
+            share_conv_channel=32,
+            head=head, max_per_task=32, post_max_size=32)
+
+    @classmethod
     def tiny(cls):
         """Small variant for CPU tests: ~1/6 grid, thin channels. Grid dims
         divide evenly by 16 so SECONDFPN's deconv concat lines up."""
