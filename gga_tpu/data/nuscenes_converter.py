@@ -91,7 +91,8 @@ def create_nuscenes_infos(root_path, out_dir, version='v1.0-trainval',
         print(f'{split}: {len(infos)} infos -> {path}')
 
 
-def _sample_info(nusc, sample, max_sweeps):
+def _sample_info(nusc, sample, max_sweeps, name_map=None):
+    name_map = NAME_MAP if name_map is None else name_map
     lidar_token = sample['data']['LIDAR_TOP']
     sd = nusc.get('sample_data', lidar_token)
     cs = nusc.get('calibrated_sensor', sd['calibrated_sensor_token'])
@@ -134,7 +135,7 @@ def _sample_info(nusc, sample, max_sweeps):
     boxes, names, vels, npts, valid = [], [], [], [], []
     for tok in sample['anns']:
         ann = nusc.get('sample_annotation', tok)
-        name = NAME_MAP.get(ann['category_name'])
+        name = name_map.get(ann['category_name'])
         if name is None:
             continue
         box = nusc.get_box(tok)
