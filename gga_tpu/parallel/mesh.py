@@ -40,6 +40,20 @@ def shard_batch(mesh, batch, axis_name='data'):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def process_shard(order, num_processes, process_id):
+    """Deterministic per-process slice of a global sample order (the
+    reference's DistributedGroupSampler rank split,
+    /root/reference/mmdet3d — torch DistributedSampler semantics): pad
+    to a multiple of ``num_processes`` by wrapping, then stride so every
+    process sees a disjoint, equally-sized shard. Same ``order`` in =>
+    same shards out on every host."""
+    order = np.asarray(order)
+    n = len(order)
+    total = -(-n // num_processes) * num_processes
+    padded = np.concatenate([order, order[:total - n]])
+    return padded[process_id::num_processes]
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
     """Multi-host initialization (the reference's init_dist /
