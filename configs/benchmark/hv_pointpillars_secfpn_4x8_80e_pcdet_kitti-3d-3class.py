@@ -1,0 +1,10 @@
+"""Speed-benchmark PointPillars (mirror of /root/reference/configs/
+benchmark/hv_pointpillars_secfpn_4x8_80e_pcdet_kitti-3d-3class.py)."""
+_base_ = [
+    '../_base_/models/hv_pointpillars_secfpn_kitti.py',
+    '../_base_/datasets/kitti-3d-3class.py',
+    '../_base_/schedules/cyclic_40e.py',
+    '../_base_/default_runtime.py',
+]
+lr = 0.003
+max_epochs = 80

@@ -36,7 +36,9 @@ from .detectors.sassd import SASSD, SASSDConfig
 from .detectors.ssd3d import SSD3DNet, SSD3DNetConfig
 from .detectors.smoke import SMOKEDetector, SMOKEModelConfig
 from .detectors.votenet import VoteNet, VoteNetConfig
-from .detectors.voxelnet import (PointPillars, PointPillarsConfig,
+from .detectors.ssn import SSNConfig, SSNDetector
+from .detectors.voxelnet import (FreeAnchorPointPillarsConfig,
+                                 PointPillars, PointPillarsConfig,
                                  SECONDDetector, SECONDNetConfig)
 from .backbones.dgcnn import DGCNNConfig, DGCNNSegmentor
 from .backbones.paconv import PAConvConfig, PAConvSegmentor
@@ -72,6 +74,18 @@ def config_from_dict(cfg_cls, d, base=None):
         cur = getattr(base, k)
         if dataclasses.is_dataclass(cur) and isinstance(v, dict):
             kwargs[k] = config_from_dict(type(cur), v, base=cur)
+        elif (isinstance(cur, tuple) and cur
+              and dataclasses.is_dataclass(cur[0])
+              and isinstance(v, (list, tuple))
+              and all(isinstance(x, dict) for x in v)):
+            # tuple-of-dataclass field (e.g. ShapeAwareConfig.tasks):
+            # each dict builds an element of the default's element type
+            # (constructed directly — element classes may have
+            # no-default fields)
+            elem_cls = type(cur[0])
+            kwargs[k] = tuple(
+                elem_cls(**{ek: _tuplify(ev) for ek, ev in x.items()})
+                for x in v)
         else:
             kwargs[k] = _tuplify(v)
     return dataclasses.replace(base, **kwargs)
@@ -87,6 +101,9 @@ def _register_family(name, cfg_cls, model_cls):
 
 
 _register_family('PointPillars', PointPillarsConfig, PointPillars)
+_register_family('FreeAnchorPointPillars', FreeAnchorPointPillarsConfig,
+                 PointPillars)
+_register_family('SSNDetector', SSNConfig, SSNDetector)
 _register_family('SECONDDetector', SECONDNetConfig, SECONDDetector)
 _register_family('DynamicVoxelNet', DynamicVoxelNetConfig, DynamicVoxelNet)
 _register_family('SASSD', SASSDConfig, SASSD)

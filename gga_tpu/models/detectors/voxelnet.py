@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ...ops.voxelize import hard_voxelize
 from ..backbones.second import SECOND
 from ..dense_heads.anchor3d_head import Anchor3DConfig, Anchor3DHead
+from ..dense_heads.free_anchor3d_head import FreeAnchor3DConfig
 from ..middle_encoders import PointPillarsScatter, SparseEncoder
 from ..necks.second_fpn import SECONDFPN
 from ..voxel_encoders import HardSimpleVFE, PillarFeatureNet
@@ -38,6 +39,16 @@ class PointPillarsConfig:
     backbone_strides: Tuple[int, ...] = (2, 2, 2)
     neck_channels: Tuple[int, ...] = (128, 128, 128)
     neck_strides: Tuple[int, ...] = (1, 2, 4)
+    # 'second' or a regnet arch name ('regnetx_400mf', 'regnetx_1.6gf',
+    # 'regnetx_3.2gf') -> NoStemRegNet (configs/regnet family); regnet
+    # stage channels come from the arch, backbone_channels/layers/strides
+    # are ignored then
+    backbone: str = 'second'
+    # 'secfpn' (deconv-fuse, the default) or 'fpn' (top-down FPN whose
+    # levels are upsampled to the finest map and concatenated — the
+    # single-level-anchor equivalent of the reference's per-level FPN
+    # heads, a documented delta of this static-shape rebuild)
+    neck: str = 'secfpn'
     head: Anchor3DConfig = dataclasses.field(default_factory=Anchor3DConfig)
 
     @classmethod
@@ -55,6 +66,15 @@ class PointPillarsConfig:
                    backbone_channels=(16, 32, 32),
                    backbone_layers=(1, 1, 1),
                    neck_channels=(16, 16, 16), head=head)
+
+
+@dataclasses.dataclass(frozen=True)
+class FreeAnchorPointPillarsConfig(PointPillarsConfig):
+    """configs/free_anchor family: same pillars shell, FreeAnchor3D
+    learning-to-match loss (dense_heads/free_anchor3d_head.py) over the
+    Anchor3DHead maps."""
+    head: FreeAnchor3DConfig = dataclasses.field(
+        default_factory=FreeAnchor3DConfig)
 
 
 class PointPillars(nn.Module):
@@ -84,13 +104,29 @@ class PointPillars(nn.Module):
         feats = jnp.where(vvalid[..., None], feats, 0.0)
         canvas = PointPillarsScatter(tuple(c.scatter_shape))(
             feats, coords, vvalid)
-        xs = SECOND(in_channels=canvas.shape[-1],
-                    out_channels=tuple(c.backbone_channels),
-                    layer_nums=tuple(c.backbone_layers),
-                    layer_strides=tuple(c.backbone_strides))(canvas, train)
-        fused = SECONDFPN(in_channels=tuple(c.backbone_channels),
-                          out_channels=tuple(c.neck_channels),
-                          upsample_strides=tuple(c.neck_strides))(xs, train)
+        if c.backbone == 'second':
+            xs = SECOND(in_channels=canvas.shape[-1],
+                        out_channels=tuple(c.backbone_channels),
+                        layer_nums=tuple(c.backbone_layers),
+                        layer_strides=tuple(c.backbone_strides))(canvas,
+                                                                 train)
+        else:
+            from ..backbones.regnet import NoStemRegNet
+            xs = NoStemRegNet(arch=c.backbone)(canvas, train)
+        if c.neck == 'secfpn':
+            fused = SECONDFPN(
+                in_channels=tuple(x.shape[-1] for x in xs),
+                out_channels=tuple(c.neck_channels),
+                upsample_strides=tuple(c.neck_strides))(xs, train)
+        else:
+            from ..necks.fpn import FPN
+            levels = FPN(out_channels=c.neck_channels[0],
+                         num_outs=len(xs))(xs, train)
+            top = levels[0]
+            fused = jnp.concatenate(
+                [top] + [jax.image.resize(l, top.shape[:3] + l.shape[-1:],
+                                          method='nearest')
+                         for l in levels[1:]], axis=-1)
         return Anchor3DHead(c.head)(fused, train)
 
 
