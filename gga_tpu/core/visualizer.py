@@ -96,3 +96,47 @@ def show_result(points, gt_boxes, pred_boxes, out_dir, filename,
     out = os.path.join(out_dir, f'{filename}_bev.png')
     return show_bev_result(points, gt_boxes, pred_boxes, out,
                            pc_range=pc_range)
+
+
+def show_interactive(points, gt_boxes=None, pred_boxes=None,
+                     point_colors=None):
+    """Interactive 3D viewer (counterpart of the reference's open3d
+    visualizer, /root/reference/mmdet3d/core/visualizer/open3d_vis.py:1):
+    point cloud + GT (green) / prediction (red) wireframe boxes in an
+    open3d window. open3d is external (headless images run the BEV/image
+    writers instead); the import is gated at call time."""
+    try:
+        import open3d as o3d
+    except ImportError as e:  # pragma: no cover - open3d not baked in
+        raise ImportError(
+            'show_interactive needs open3d (pip install open3d); on a '
+            'headless machine use show_bev_result / '
+            'show_multi_modality_result instead.') from e
+
+    import numpy as np
+
+    from .np_geometry import center_to_corner_box3d
+
+    geoms = []
+    pcd = o3d.geometry.PointCloud()
+    pcd.points = o3d.utility.Vector3dVector(np.asarray(points)[:, :3])
+    if point_colors is not None:
+        pcd.colors = o3d.utility.Vector3dVector(np.asarray(point_colors))
+    geoms.append(pcd)
+
+    # 12 box edges over the 8 corners (same ordering as corners_7dof)
+    edges = [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7],
+             [7, 4], [0, 4], [1, 5], [2, 6], [3, 7]]
+    for boxes, color in ((gt_boxes, (0, 1, 0)), (pred_boxes, (1, 0, 0))):
+        if boxes is None or len(boxes) == 0:
+            continue
+        b = np.asarray(boxes)
+        all_corners = center_to_corner_box3d(b[:, :3], b[:, 3:6],
+                                             b[:, 6])
+        for corners in all_corners:
+            ls = o3d.geometry.LineSet(
+                points=o3d.utility.Vector3dVector(corners),
+                lines=o3d.utility.Vector2iVector(edges))
+            ls.colors = o3d.utility.Vector3dVector([color] * len(edges))
+            geoms.append(ls)
+    o3d.visualization.draw_geometries(geoms)

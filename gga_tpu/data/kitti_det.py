@@ -211,3 +211,52 @@ def _bev_collides(box, others):
     ix = np.minimum(a[2], o[..., 2]) - np.maximum(a[0], o[..., 0])
     iy = np.minimum(a[3], o[..., 3]) - np.maximum(a[1], o[..., 1])
     return bool(((ix > 0) & (iy > 0)).any())
+
+
+class Kitti2DDataset:
+    """2D-bbox view over the same kitti info pkls (rebuild of
+    /root/reference/mmdet3d/datasets/kitti2d_dataset.py:10): per sample
+    the image path/shape and the camera-plane boxes + labels, statically
+    padded — the input contract of a 2D detector trained on KITTI."""
+    CLASSES = ('car', 'pedestrian', 'cyclist')
+
+    def __init__(self, root, info_path, *, max_objs=32,
+                 filter_empty_gt=True, test_mode=False):
+        with open(info_path, 'rb') as f:
+            infos = pickle.load(f)
+        self.root = root
+        self.max_objs = max_objs
+        self.test_mode = test_mode
+        if filter_empty_gt and not test_mode:
+            infos = [i for i in infos
+                     if self._boxes(i)[0].shape[0] > 0]
+        self.infos = infos
+
+    def _boxes(self, info):
+        a = info['annos']
+        names = np.asarray(a['name'])
+        keep = np.array([n.lower() in self.CLASSES for n in names], bool)
+        boxes = np.asarray(a['bbox'], np.float32).reshape(-1, 4)[keep]
+        labels = np.array([self.CLASSES.index(n.lower())
+                           for n in names[keep]], np.int64)
+        return boxes, labels
+
+    def __len__(self):
+        return len(self.infos)
+
+    def __getitem__(self, idx):
+        info = self.infos[idx]
+        boxes, labels = self._boxes(info)
+        M = self.max_objs
+        gb = np.zeros((M, 4), np.float32)
+        gl = np.full(M, -1, np.int64)
+        gv = np.zeros(M, bool)
+        k = min(len(boxes), M)
+        gb[:k] = boxes[:k]
+        gl[:k] = labels[:k]
+        gv[:k] = True
+        return dict(
+            img_path=os.path.join(self.root,
+                                  info['image']['image_path']),
+            img_shape=np.asarray(info['image']['image_shape']),
+            gt_bboxes=gb, gt_labels=gl, gt_valid=gv)

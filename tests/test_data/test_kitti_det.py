@@ -76,3 +76,17 @@ def test_object_noise_moves_box_and_points():
     from gga_tpu.core import np_geometry as ng
     assert ng.points_in_rbbox(new_pts[:, :3], new_boxes[:1])[:, 0].sum() \
         == ng.points_in_rbbox(pts4[:, :3], boxes[:1])[:, 0].sum()
+
+
+def test_kitti2d_dataset(tmp_path):
+    from gga_tpu.data.kitti_det import Kitti2DDataset
+    info_path = _make(tmp_path)
+    ds = Kitti2DDataset(str(tmp_path), info_path, max_objs=8)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item['gt_bboxes'].shape == (8, 4)
+    assert item['gt_valid'].sum() == 1
+    assert int(item['gt_labels'][0]) == 0      # car
+    x0, y0, x1, y1 = item['gt_bboxes'][0]
+    assert x1 > x0 and y1 > y0                 # a real projected box
+    assert item['img_path'].endswith('000000.png')

@@ -22,7 +22,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('dataset', choices=['kitti', 'nuscenes', 'sunrgbd',
                                        'scannet', 's3dis', 'waymo',
-                                       'lyft'])
+                                       'lyft', 'nuimages'])
     p.add_argument('--root-path', required=True)
     p.add_argument('--out-dir', required=True)
     p.add_argument('--version', default='v1.0-trainval')
@@ -67,6 +67,10 @@ def main():
         create_lyft_infos(args.root_path, args.out_dir,
                           version=args.version,
                           max_sweeps=args.max_sweeps)
+    elif args.dataset == 'nuimages':
+        from gga_tpu.data.nuimage_converter import export_nuim_to_coco
+        export_nuim_to_coco(args.root_path, args.out_dir,
+                            version=args.version)
 
 
 if __name__ == '__main__':
