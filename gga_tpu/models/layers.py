@@ -220,6 +220,17 @@ class SubMConv3dMapped(nn.Module):
         w = self.param('kernel', conv_init,
                        (k3, feats.shape[-1], self.out_channels))
         B, N, C = feats.shape
+        if hit.ndim == 5:
+            # x-triple map (sp.build_subm_map with GGA_SUBM_TRIPLE=1):
+            # nmap = anchor [B, 9, N], hit = sel [B, 9, N, 3, 3]
+            anchor = (nmap + (jnp.arange(B, dtype=nmap.dtype)
+                              * N)[:, None, None])
+            anchor = anchor.transpose(1, 0, 2).reshape(9, B * N)
+            sel = hit.transpose(1, 0, 2, 3, 4).reshape(9, B * N, 3, 3)
+            out = sp.subm_conv_triple(
+                feats.reshape(B * N, C), valid.reshape(B * N),
+                anchor, sel, w)
+            return out.reshape(B, N, self.out_channels)
         nmap_flat, hit_flat = flatten_nmap(nmap, hit)
         out = sp.subm_conv_with_map(
             feats.reshape(B * N, C), valid.reshape(B * N),
@@ -240,7 +251,7 @@ class SparseBasicBlock(nn.Module):
             def mk(c, v):
                 st = sp.SparseTensor(jnp.zeros_like(c, jnp.float32)[:, :1],
                                      c, v, tuple(grid))
-                return sp.build_neighbor_map(st)
+                return sp.build_subm_map(st)
             nmap, hit = jax.vmap(mk)(coords, valid)
         identity = feats
         x = SubMConv3dMapped(self.channels)(feats, valid, nmap, hit)

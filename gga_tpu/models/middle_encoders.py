@@ -58,7 +58,7 @@ class SparseEncoder(nn.Module):
         def make_map(cc, vv):
             st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
                                  cc, vv, tuple(grid))
-            return sp.build_neighbor_map(st)
+            return sp.build_subm_map(st)
 
         # one neighbor map per active set, shared by every SubM conv on it
         nmap, hit = jax.vmap(make_map)(coords, valid)
@@ -95,7 +95,7 @@ class SparseEncoder(nn.Module):
                             st = sp.SparseTensor(
                                 jnp.zeros((cc.shape[0], 1), jnp.float32),
                                 cc, vv, tuple(grid_now))
-                            return sp.build_neighbor_map(st)
+                            return sp.build_subm_map(st)
 
                         nmap, hit = jax.vmap(make_map_g)(c, v)
                     else:
@@ -201,7 +201,7 @@ class SparseUNet(nn.Module):
         def make_map(cc, vv, g):
             st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
                                  cc, vv, tuple(g))
-            return sp.build_neighbor_map(st)
+            return sp.build_subm_map(st)
 
         nmaps = {}  # per coordinate set, shared by all SubM convs on it
         nmaps[0] = jax.vmap(lambda cc, vv: make_map(cc, vv, grid))(

@@ -19,6 +19,7 @@ All functions operate on a single sample; batch via ``jax.vmap``.
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import flax.struct
@@ -107,10 +108,12 @@ def _ranks_via_merge(table_lin, queries):
     last_tkey = jax.lax.cummax(
         jnp.where(is_table, sk, jnp.iinfo(sk.dtype).min), axis=1)
     hit_s = (~is_table) & (last_tkey == sk) & (rank > 0)
-    packed = jnp.maximum(rank - 1, 0) * 2 + hit_s.astype(jnp.int32)
+    packed = rank * 2 + hit_s.astype(jnp.int32)
     _, packed_o = jax.lax.sort((sp, packed), dimension=-1, num_keys=1)
     pq = packed_o[:, T:]
-    return (pq // 2).astype(jnp.int32), (pq % 2).astype(bool)
+    rank_le = (pq // 2).astype(jnp.int32)   # entries <= query
+    hit = (pq % 2).astype(bool)
+    return jnp.maximum(rank_le - 1, 0), hit, rank_le
 
 
 def _neighbor_pos_hit(st: SparseTensor, query_coords, query_valid,
@@ -132,7 +135,7 @@ def _neighbor_pos_hit(st: SparseTensor, query_coords, query_valid,
     # out-of-bounds targets may wrap to a real row's linear id; the
     # in_bounds mask (pure vector math, no lookup) kills those hits, and
     # invalid table rows (lin == big) can't be hit by in-bounds queries
-    pos, hit = _ranks_via_merge(lin_in, lin_t)
+    pos, hit, _ = _ranks_via_merge(lin_in, lin_t)
     hit = hit & in_bounds & query_valid[None, :]
     return pos, hit
 
@@ -430,7 +433,7 @@ def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
         (tgt >= 0) & (tgt < jnp.asarray([nz, ny, nx], jnp.int32)),
         axis=-1)
     lin_t = (tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2])
-    pos_h, hit_h = _ranks_via_merge(lin_in, lin_t)          # [H, N]
+    pos_h, hit_h, _ = _ranks_via_merge(lin_in, lin_t)       # [H, N]
     hit_h = hit_h & in_bounds & st.valid[None, :]
 
     N = st.coords.shape[0]
@@ -686,3 +689,149 @@ def sparse_conv_fast(st: SparseTensor, weights, kernel_size, stride,
         out = out + bias
     return SparseTensor(features=out, coords=out_coords, valid=out_valid,
                         grid=out_grid)
+
+
+# ---------------------------------------------------------------------------
+# x-triple submanifold conv: 9 wide-row gathers instead of 27 row gathers.
+#
+# XLA's TPU gather is ROW-rate bound (~550 M rows/s measured,
+# tools/microbench_slice_gather.py): gathering [N, 3C] rows costs the same
+# as [N, C] rows, so the 27 per-offset gathers of subm_conv_with_map can
+# collapse to 9 — one per (dz, dy) offset group — against a pre-shifted
+# concat F3[m] = [F[m-1], F[m], F[m+1]]. Coordinates are sorted by
+# linearized id with x fastest, so the (up to 3) present x-candidates
+# t-1, t, t+1 of a group always occupy CONSECUTIVE table positions
+# starting at rank_lt(t-1); anchoring the wide gather there covers every
+# present neighbor, and a per-slot one-hot select (built once per stage,
+# like the neighbor map) routes each sub-row to its kernel x-slot — exact
+# for every present/absent combination, including the
+# center-missing-side-present case a naive slot alignment gets wrong.
+
+
+def build_triple_map(st: SparseTensor):
+    """Anchor rows + slot->kernel-x-offset select for the 3x3x3 subm conv.
+
+    Returns:
+        anchor [9, N] int32 — rows to gather from the [N, 3C] pre-shifted
+            feature concat (9 (dz, dy) offset groups, row-major);
+        sel [9, N, 3, 3] bool — sel[g, n, j, k] routes gathered sub-row j
+            (table position anchor-1+j) to kernel x-slot k; at most one k
+            per (g, n, j), zero where the sub-row is not a real neighbor.
+    """
+    nz, ny, nx = st.grid
+    N = st.coords.shape[0]
+    lin_in, big = _linearize(st.coords, st.valid, st.grid)
+
+    # 9 (dz, dy) groups; x component fixed at -1 (the t-1 query)
+    offs_zy = _kernel_offsets((3, 3, 1))                   # [9, 3]
+    base = st.coords.astype(jnp.int32) - 1                 # - pad
+    tgt = base[None, :, :] + jnp.asarray(offs_zy, jnp.int32)[:, None, :]
+    zy_ok = ((tgt[..., 0] >= 0) & (tgt[..., 0] < nz)
+             & (tgt[..., 1] >= 0) & (tgt[..., 1] < ny))    # [9, N]
+    t_minus = (tgt[..., 0].astype(lin_in.dtype) * (ny * nx)
+               + tgt[..., 1] * nx + tgt[..., 2])           # lin of x-1
+
+    _, hit, rank_le = _ranks_via_merge(lin_in, t_minus)
+    # rank_lt(t-1) = rank_le - hit; anchor = rank_lt + 1, so the slots
+    # anchor-1+j (j = 0..2) start at the first present candidate
+    anchor = jnp.clip(rank_le - hit.astype(jnp.int32) + 1, 0,
+                      max(N - 1, 0))
+
+    # expected lin per kernel x-slot + per-slot bounds
+    e = t_minus[..., None] + jnp.arange(3, dtype=lin_in.dtype)  # [9,N,3]
+    x_ok = ((tgt[..., 2][..., None] + jnp.arange(3)) >= 0) & \
+        ((tgt[..., 2][..., None] + jnp.arange(3)) < nx)
+    ok = zy_ok[..., None] & x_ok & st.valid[None, :, None]      # [9,N,3]
+
+    # table lin at slot positions anchor-1+j (sentinels never match)
+    lin_pad = jnp.concatenate(
+        [jnp.full((1,), -big, lin_in.dtype), lin_in,
+         jnp.full((1,), big, lin_in.dtype)])
+    q = anchor[..., None] + jnp.arange(3, dtype=jnp.int32)  # a-1+j (+1 pad)
+    l_at = lin_pad[q]                                       # [9, N, 3]
+    sel = (l_at[..., None] == e[:, :, None, :]) & ok[:, :, None, :]
+    return anchor, sel
+
+
+def _triple_apply(features, anchor, sel, w9):
+    """sum_g sum_j sum_k sel * F3[anchor][j] @ w9[g, k] -> [N, D]."""
+    N, C = features.shape
+    zero = jnp.zeros((1, C), features.dtype)
+    f_pad = jnp.concatenate([zero, features, zero])
+    f3 = jnp.concatenate([f_pad[:-2], f_pad[1:-1], f_pad[2:]],
+                         axis=-1)                          # [N, 3C]
+    g = f3[anchor].reshape(anchor.shape[0], N, 3, C)       # [9, N, 3, C]
+    bucket = jnp.einsum('gnjk,gnjc->gnkc', sel.astype(features.dtype), g)
+    return jnp.einsum('gnkc,gkcd->nd', bucket,
+                      w9.astype(features.dtype),
+                      preferred_element_type=jnp.float32), bucket
+
+
+@jax.custom_vjp
+def subm_conv_triple(features, valid, anchor, sel, weights):
+    """3x3x3 submanifold conv via 9 wide-row gathers (see module note).
+
+    Exact drop-in for ``subm_conv_with_map`` given
+    (anchor, sel) = build_triple_map. Backward mirrors the forward
+    (offset symmetry: weights flipped over all 27 slots + transposed)
+    and re-derives the weight gradient from a recomputed bucket; an
+    optimization barrier stops XLA from CSE-ing the recompute with the
+    forward's gather — keeping the wide [N, 3C] intermediates live
+    across fwd->bwd is what regressed the round-2 integrated step.
+
+    Args:
+        features [N, Cin]; valid [N]; anchor/sel from build_triple_map;
+        weights [27, Cin, Cout] (row-major (z, y, x) offsets).
+    """
+    out, _ = _triple_fwd(features, valid, anchor, sel, weights)
+    return out
+
+
+def _triple_fwd(features, valid, anchor, sel, weights):
+    C, D = weights.shape[1:]
+    out, _ = _triple_apply(features, anchor, sel,
+                           weights.reshape(9, 3, C, D))
+    out = jnp.where(valid[:, None], out, 0.0).astype(features.dtype)
+    return out, (features, valid, anchor, sel, weights)
+
+
+def _triple_bwd(res, dout):
+    features, valid, anchor, sel, weights = res
+    C, D = weights.shape[1:]
+    dout = jnp.where(valid[:, None], dout, 0.0)
+
+    # stop fwd<->bwd CSE: recompute the gathers instead of keeping the
+    # [N, 3C] concat + [9, N, 3, C] bucket live across the whole step
+    f_b = jax.lax.optimization_barrier(features)
+    d_b = jax.lax.optimization_barrier(dout)
+
+    _, bucket = _triple_apply(f_b, anchor, sel,
+                              jnp.zeros((9, 3, C, 1), features.dtype))
+    dw = jnp.einsum('gnkc,nd->gkcd', bucket, dout,
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(27, C, D).astype(weights.dtype)
+
+    # df via offset symmetry: m receives from n at offset o iff n is m's
+    # neighbor at offset 26 - o -> same maps, weights flipped+transposed
+    w_m = jnp.flip(weights, axis=0).transpose(0, 2, 1)     # [27, D, C]
+    df, _ = _triple_apply(d_b, anchor, sel, w_m.reshape(9, 3, D, C))
+    df = jnp.where(valid[:, None], df, 0.0).astype(features.dtype)
+    return df, None, None, None, dw
+
+
+subm_conv_triple.defvjp(_triple_fwd, _triple_bwd)
+
+
+# env-switchable map builder so the engine can be A/B'd on the full
+# train step without code edits (GGA_SUBM_TRIPLE=1 -> x-triple path)
+SUBM_TRIPLE = os.environ.get('GGA_SUBM_TRIPLE', '0') == '1'
+
+
+def build_subm_map(st: SparseTensor, kernel_size=(3, 3, 3)):
+    """Stage-shared submanifold gather map: (nmap [K, N], hit [K, N]) on
+    the per-offset path, or (anchor [9, N], sel [9, N, 3, 3]) on the
+    x-triple path (GGA_SUBM_TRIPLE=1, 3x3x3 kernels only). Consumers
+    distinguish by the second array's rank."""
+    if SUBM_TRIPLE and _triple(kernel_size) == (3, 3, 3):
+        return build_triple_map(st)
+    return build_neighbor_map(st, kernel_size)
