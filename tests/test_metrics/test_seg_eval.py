@@ -39,7 +39,7 @@ def test_instance_seg_eval_perfect():
     m = instance_seg_eval(
         [sem], [inst], [pred_masks], [np.array([0, 1])],
         [np.array([0.9, 0.8])], valid_class_ids=(3, 8),
-        class_labels=('chair', 'table'))
+        class_labels=('chair', 'table'), min_region_size=1)
     assert m['all_ap_50%'] == pytest.approx(1.0)
     assert m['all_ap_25%'] == pytest.approx(1.0)
     assert m['chair_AP'] == pytest.approx(1.0)
@@ -54,7 +54,7 @@ def test_instance_seg_eval_iou_threshold():
     m = instance_seg_eval(
         [sem], [inst], [pred_masks], [np.array([0])],
         [np.array([0.9])], valid_class_ids=(3, 8),
-        class_labels=('chair', 'table'))
+        class_labels=('chair', 'table'), min_region_size=1)
     assert m['chair_AP_0.25'] == pytest.approx(1.0)
     assert m['chair_AP_0.50'] == pytest.approx(1.0)
     assert m['chair_AP'] < 0.2                  # mean over 0.5:0.95
@@ -70,6 +70,6 @@ def test_instance_seg_eval_false_positive_ranking():
     m = instance_seg_eval(
         [sem], [inst], [masks], [np.array([0, 0])],
         [np.array([0.95, 0.5])], valid_class_ids=(3, 8),
-        class_labels=('chair', 'table'))
+        class_labels=('chair', 'table'), min_region_size=1)
     # high-confidence FP halves the interpolated AP
     assert m['chair_AP_0.50'] == pytest.approx(0.5)
