@@ -196,6 +196,15 @@ def main():
     ap.add_argument('--eval-every', type=int, default=0,
                     help='also score pseudo labels every N steps '
                          '(records the AP-vs-steps curve)')
+    ap.add_argument('--flat-lr', action='store_true',
+                    help='constant lr instead of the cyclic 10x-peak '
+                         'schedule (the peak destabilizes tiny-batch '
+                         'synthetic runs)')
+    ap.add_argument('--save-state', default=None,
+                    help='pickle the trained state here (for offline '
+                         'diagnosis without retraining)')
+    ap.add_argument('--load-state', default=None,
+                    help='skip training, evaluate this pickled state')
     ap.add_argument('--cfg', default='small', choices=['small', 'tiny'],
                     help='model variant; "small" keeps every voxel of an '
                          '8k-point scene (tiny\'s 512-voxel budget '
@@ -241,7 +250,8 @@ def main():
     batch0.pop('sample_idx', None)
     variables = model.init(jax.random.PRNGKey(0), batch0['points'][:1],
                            batch0['points_valid'][:1], train=False)
-    tx = build_optimizer(total_steps=args.steps, lr=args.lr)
+    tx = build_optimizer(total_steps=args.steps, lr=args.lr,
+                         cyclic=not args.flat_lr)
     state = create_train_state(model, variables, tx)
 
     print('[1.5/4] scoring STAGE-1 init pseudo labels...')
@@ -251,6 +261,15 @@ def main():
     print('[2/4] scoring UNTRAINED pseudo labels...')
     before = evaluate_pseudo(model, cfg, state, ds_test, infos)
     print('  untrained:', json.dumps(before))
+
+    if args.load_state:
+        import types
+        with open(args.load_state, 'rb') as f:
+            payload = pickle.load(f)
+        state = types.SimpleNamespace(**payload)
+        after = evaluate_pseudo(model, cfg, state, ds_test, infos)
+        print('  loaded-state:', json.dumps(after))
+        return dict(trained=after, stage1_labels=stage1)
 
     print(f'[3/4] weak-training {args.steps} steps...')
     import functools
@@ -289,6 +308,12 @@ def main():
 
     print('[4/4] scoring TRAINED pseudo labels...')
     state = jax.device_get(state)
+    if args.save_state:
+        # params + batch stats only: the optax chain state holds
+        # unpicklable closures and evaluation never needs it
+        with open(args.save_state, 'wb') as f:
+            pickle.dump(dict(params=state.params,
+                             batch_stats=state.batch_stats), f)
     after = evaluate_pseudo(model, cfg, state, ds_test, infos)
     print('  trained:', json.dumps(after))
 
