@@ -60,6 +60,41 @@ def project_box_to_2d(box_cam):
                                     IMG_SHAPE)[0]
 
 
+def render_scene_image(points, img_shape=IMG_SHAPE):
+    """Depth-coded point-splat rendering of the lidar scene.
+
+    Gives the synthetic images real monocular structure (pixel extent
+    scales with 1/depth; intensity encodes depth and height) so a mono
+    detector (PGD, stage 4) has something to learn from — real KITTI
+    images carry the same cues photographically."""
+    pts = np.asarray(points, np.float64)[:, :3]
+    hom = np.concatenate([pts, np.ones((len(pts), 1))], 1)
+    cam = (RECT @ VELO2CAM @ hom.T).T[:, :3]
+    z = cam[:, 2]
+    uvw = (P2[:3, :3] @ cam.T).T + P2[:3, 3]
+    u = uvw[:, 0] / np.maximum(uvw[:, 2], 1e-6)
+    v = uvw[:, 1] / np.maximum(uvw[:, 2], 1e-6)
+    H, W = img_shape
+    ok = (z > 0.5) & (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1)
+    ui = u[ok].astype(np.intp)
+    vi = v[ok].astype(np.intp)
+    zz = z[ok]
+    depth_c = np.clip(255.0 * 8.0 / zz, 0, 255).astype(np.uint8)
+    height_c = np.clip((pts[ok, 2] + 3.0) / 6.0 * 255.0, 0,
+                       255).astype(np.uint8)
+    img = np.zeros((H, W, 3), np.uint8)
+    # sort far-to-near so near points overwrite (painter's order)
+    order = np.argsort(-zz)
+    ui, vi = ui[order], vi[order]
+    depth_c, height_c = depth_c[order], height_c[order]
+    for dv in (0, 1):
+        for du in (0, 1):
+            img[vi + dv, ui + du, 0] = depth_c
+            img[vi + dv, ui + du, 1] = height_c
+            img[vi + dv, ui + du, 2] = 255
+    return img
+
+
 def write_kitti_scene(root, idx, points, boxes_lidar, names,
                       split='train'):
     """Write velodyne/calib/label/image files + ImageSets entry."""
@@ -98,7 +133,7 @@ def write_kitti_scene(root, idx, points, boxes_lidar, names,
                     f'{bbox2d[3]:.2f} {h:.2f} {w:.2f} {l:.2f} '
                     f'{cb[0]:.2f} {cb[1]:.2f} {cb[2]:.2f} {cb[6]:.2f}\n')
 
-    Image.new('RGB', (IMG_SHAPE[1], IMG_SHAPE[0])).save(
+    Image.fromarray(render_scene_image(points)).save(
         os.path.join(root, sub, 'image_2', f'{idx:06d}.png'))
 
     with open(os.path.join(root, 'ImageSets', f'{split}.txt'), 'a') as f:

@@ -86,7 +86,7 @@ def make_synth_kitti(root, n_scenes, seed=0):
     return infos, info_path
 
 
-def evaluate_pseudo(model, cfg, state, ds_test, infos):
+def evaluate_pseudo(model, cfg, state, ds_test, infos, dump_path=None):
     """decode -> kitti annos -> pseudo matching -> KITTI AP."""
     import jax
     import jax.numpy as jnp
@@ -129,6 +129,9 @@ def evaluate_pseudo(model, cfg, state, ds_test, infos):
         detections, infos, class_names=('Pedestrian', 'Cyclist', 'Car'))
     pseudo_infos, gt_annos = pseudo_label_matching(infos, det_annos)
     pseudo_annos = [info['annos'] for info in pseudo_infos]
+    if dump_path:
+        with open(dump_path, 'wb') as f:
+            pickle.dump(pseudo_infos, f)
     _, metrics = kitti_eval(gt_annos, pseudo_annos, ['Car'],
                             eval_types=('bbox', 'bev', '3d'))
     return {
@@ -205,6 +208,9 @@ def main():
                          'diagnosis without retraining)')
     ap.add_argument('--load-state', default=None,
                     help='skip training, evaluate this pickled state')
+    ap.add_argument('--dump-pseudo', default=None,
+                    help='pickle the final matched pseudo infos here '
+                         '(stage-3 output; feeds the stage-4 PGD bench)')
     ap.add_argument('--cfg', default='small', choices=['small', 'tiny'],
                     help='model variant; "small" keeps every voxel of an '
                          '8k-point scene (tiny\'s 512-voxel budget '
@@ -267,7 +273,8 @@ def main():
         with open(args.load_state, 'rb') as f:
             payload = pickle.load(f)
         state = types.SimpleNamespace(**payload)
-        after = evaluate_pseudo(model, cfg, state, ds_test, infos)
+        after = evaluate_pseudo(model, cfg, state, ds_test, infos,
+                                dump_path=args.dump_pseudo)
         print('  loaded-state:', json.dumps(after))
         return dict(trained=after, stage1_labels=stage1)
 
@@ -314,7 +321,8 @@ def main():
         with open(args.save_state, 'wb') as f:
             pickle.dump(dict(params=state.params,
                              batch_stats=state.batch_stats), f)
-    after = evaluate_pseudo(model, cfg, state, ds_test, infos)
+    after = evaluate_pseudo(model, cfg, state, ds_test, infos,
+                            dump_path=args.dump_pseudo)
     print('  trained:', json.dumps(after))
 
     curve.append(dict(step=step, **after))

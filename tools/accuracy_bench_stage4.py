@@ -1,0 +1,348 @@
+"""Stage-4 accuracy evidence: PGD retrained on stage-3 pseudo labels.
+
+Closes the measurement loop the reference's headline metric lives on
+(README.md row "PGD+GGA, KITTI test AP_3D"): trains the PGD monocular
+detector on matched pseudo labels produced by the weak-trained GGA
+detector (tools/accuracy_bench.py --dump-pseudo), then scores its
+predictions against the synthetic 3D GT with the KITTI evaluator.
+Reference path mirrored: configs/gga/gga_pdg.py:115-130 (train on
+kitti_infos_trainval_GGA_pseudo) + dist_test format_results.
+
+The synthetic scenes get depth-coded point-splat images
+(tests/test_data/fixtures.render_scene_image) so the monocular detector
+has real 2D->3D cues: pixel extent scales with 1/depth, intensity
+encodes depth and height.
+
+Usage:
+    # first produce pseudo labels from a weak-trained state:
+    python tools/accuracy_bench.py --scenes 96 ... --dump-pseudo /tmp/pseudo.pkl
+    python tools/accuracy_bench_stage4.py --pseudo /tmp/pseudo.pkl \
+        [--steps 3000] [--out ACCURACY_stage4.md]
+    # or, without a trained GGA state, train on the stage-1 init labels:
+    python tools/accuracy_bench_stage4.py --pseudo-from stage1
+"""
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+CLASSES = ('Pedestrian', 'Cyclist', 'Car')
+
+
+def render_images(root, infos):
+    """(Re-)render the scenes' point-splat images — roots created before
+    the renderer existed have blank images."""
+    from PIL import Image
+
+    from gga_tpu.data.kitti import io as kio
+    from tests.test_data.fixtures import render_scene_image
+
+    for info in infos:
+        idx = int(info['image']['image_idx'])
+        pts = kio.load_velodyne(
+            os.path.join(root, 'training', 'velodyne', f'{idx:06d}.bin'))
+        img = render_scene_image(pts)
+        Image.fromarray(img).save(
+            os.path.join(root, 'training', 'image_2', f'{idx:06d}.png'))
+
+
+def stage1_pseudo_infos(infos):
+    """Pseudo infos built directly from the stage-1 init pseudo labels
+    (training-free baseline for the retrain stage)."""
+    import copy
+
+    from gga_tpu.core import np_geometry as ng
+    from tests.test_data.fixtures import IMG_SHAPE, P2, RECT, VELO2CAM
+
+    out = []
+    for info in infos:
+        info = copy.deepcopy(info)
+        a = info['annos']
+        n = len([x for x in a['name'] if x != 'DontCare'])
+        valid = np.asarray(a['GGA_mask_valid'], bool)[:n]
+        init = np.asarray(a['GGA_init_pseudo_label'],
+                          np.float64)[:n][valid].copy()
+        init[:, 2] -= init[:, 5] / 2  # gravity -> bottom center (lidar)
+        names = np.asarray(a['name'])[:n][valid]
+        cam = ng.box_lidar_to_camera(init, RECT, VELO2CAM)
+        bbox = ng.boxes3d_to_image_bbox(cam, P2, IMG_SHAPE)
+        info['annos'] = dict(
+            name=names,
+            truncated=np.zeros(len(names)),
+            occluded=np.zeros(len(names), np.int64),
+            alpha=cam[:, 6] - np.arctan2(cam[:, 0], cam[:, 2]),
+            bbox=bbox,
+            dimensions=cam[:, 3:6],
+            location=cam[:, :3],
+            rotation_y=cam[:, 6],
+            score=np.ones(len(names)),
+        )
+        out.append(info)
+    return out
+
+
+def evaluate_pgd(model, cfg, variables, ds, infos):
+    """PGD inference over all scenes -> KITTI AP vs the synthetic GT."""
+    import jax
+    import jax.numpy as jnp
+
+    from gga_tpu.eval.kitti_eval import kitti_eval
+    from gga_tpu.eval.submission import mono_detections_to_kitti_annos
+    from gga_tpu.models.dense_heads import pgd_head as ph
+
+    item0 = ds[0]
+    fsz = [(item0['image'].shape[0] // s, item0['image'].shape[1] // s)
+           for s in cfg.head.strides]
+
+    @jax.jit
+    def infer(v, images, cam2img):
+        preds, fuse = model.apply(v, images, train=False)
+        return ph.decode(cfg.head, preds, fuse, cam2img, fsz)
+
+    B = 4
+    detections = []
+    n = len(ds)
+    for i in range(0, n, B):
+        imgs = np.stack([ds[min(i + j, n - 1)]['image']
+                         for j in range(B)])
+        cams = np.stack([ds[min(i + j, n - 1)]['cam2img']
+                         for j in range(B)])
+        out = jax.device_get(infer(variables, jnp.asarray(imgs),
+                                   jnp.asarray(cams)))
+        for j in range(min(B, n - i)):
+            v = out['valid'][j]
+            detections.append(dict(
+                boxes_cam=out['boxes'][j][v],
+                scores=out['scores'][j][v],
+                labels=out['labels'][j][v],
+                bboxes2d=out['bboxes2d'][j][v]))
+
+    det_annos = mono_detections_to_kitti_annos(detections, infos,
+                                               class_names=CLASSES)
+    gt_annos = [info['annos'] for info in infos]
+    _, m = kitti_eval(gt_annos, det_annos, ['Car'],
+                      eval_types=('bbox', 'bev', '3d'))
+    return {
+        'AP11_3D_mod': m.get('KITTI/Car_3D_AP11_moderate_strict', 0.0),
+        'AP11_BEV_mod': m.get('KITTI/Car_BEV_AP11_moderate_strict', 0.0),
+        'AP11_3D_mod_loose': m.get('KITTI/Car_3D_AP11_moderate_loose',
+                                   0.0),
+        'AP11_BEV_mod_loose': m.get('KITTI/Car_BEV_AP11_moderate_loose',
+                                    0.0),
+        'AP11_2D_mod': m.get('KITTI/Car_2D_AP11_moderate_strict', 0.0),
+    }
+
+
+def score_pseudo_vs_gt(pseudo_infos, infos):
+    """AP of the (stage-3) pseudo labels themselves — the quality of the
+    retraining data, i.e. the natural reference point for stage 4."""
+    from gga_tpu.eval.kitti_eval import kitti_eval
+
+    det_annos = []
+    for p in pseudo_infos:
+        a = {k: np.asarray(v) for k, v in p['annos'].items()
+             if not k.startswith('GGA') and k != 'num_points_in_gt'}
+        if 'score' not in a or len(a['score']) != len(a['name']):
+            a['score'] = np.ones(len(a['name']))
+        det_annos.append(a)
+    gt_annos = [info['annos'] for info in infos]
+    _, m = kitti_eval(gt_annos, det_annos, ['Car'],
+                      eval_types=('bbox', 'bev', '3d'))
+    return {
+        'AP11_3D_mod': m.get('KITTI/Car_3D_AP11_moderate_strict', 0.0),
+        'AP11_3D_mod_loose': m.get('KITTI/Car_3D_AP11_moderate_loose',
+                                   0.0),
+        'AP11_BEV_mod_loose': m.get('KITTI/Car_BEV_AP11_moderate_loose',
+                                    0.0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--root', default='/tmp/gga_accuracy_kitti')
+    ap.add_argument('--pseudo', default=None,
+                    help='stage-3 pseudo infos pkl '
+                         '(accuracy_bench --dump-pseudo output)')
+    ap.add_argument('--pseudo-from', default=None,
+                    choices=['stage1'],
+                    help='build pseudo labels from the stage-1 init '
+                         'labels instead of a trained detector')
+    ap.add_argument('--steps', type=int, default=3000)
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--lr', type=float, default=2e-3)
+    ap.add_argument('--eval-every', type=int, default=0)
+    ap.add_argument('--out', default=None)
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from gga_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+
+    import jax.numpy as jnp
+    import optax
+
+    from gga_tpu.data.kitti.mono_dataset import KittiMonoDataset
+    from gga_tpu.models.dense_heads import pgd_head as ph
+    from gga_tpu.models.detectors.pgd import PGDModelConfig, PGDDetector
+
+    info_path = os.path.join(args.root, 'kitti_infos_train_GGA.pkl')
+    if not os.path.exists(info_path):
+        print(f'no scenes at {args.root}; run tools/accuracy_bench.py '
+              'first (it generates them)', file=sys.stderr)
+        return 1
+    with open(info_path, 'rb') as f:
+        infos = pickle.load(f)
+
+    print(f'[1/4] rendering {len(infos)} scene images...')
+    render_images(args.root, infos)
+
+    if args.pseudo:
+        with open(args.pseudo, 'rb') as f:
+            pseudo_infos = pickle.load(f)
+        pseudo_src = args.pseudo
+    else:
+        print('[1.5/4] building stage-1 init pseudo labels...')
+        pseudo_infos = stage1_pseudo_infos(infos)
+        pseudo_src = 'stage1'
+    pseudo_path = os.path.join(args.root, 'kitti_infos_pseudo_mono.pkl')
+    with open(pseudo_path, 'wb') as f:
+        pickle.dump(pseudo_infos, f)
+
+    data_quality = score_pseudo_vs_gt(pseudo_infos, infos)
+    print('  pseudo-label (training data) quality:',
+          json.dumps(data_quality))
+
+    cfg = PGDModelConfig.tiny()
+    model = PGDDetector(cfg)
+    ds = KittiMonoDataset(args.root, pseudo_path, max_objs=16)
+    ds_test = KittiMonoDataset(args.root, pseudo_path, max_objs=16,
+                               test_mode=True)
+
+    item0 = ds[0]
+    variables = model.init(jax.random.PRNGKey(0), item0['image'][None],
+                           train=False)
+    params = variables['params']
+    bstats = variables.get('batch_stats', {})
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(params))
+    print(f'  PGD tiny params: {n_params / 1e6:.2f}M')
+
+    print('[2/4] scoring UNTRAINED PGD...')
+    before = evaluate_pgd(model, cfg,
+                          {'params': params, 'batch_stats': bstats},
+                          ds_test, infos)
+    print('  untrained:', json.dumps(before))
+
+    # SGD + warmup like gga_pdg.py:152-166, flat after warmup (tiny run)
+    warmup = min(500, args.steps // 4)
+    sched = optax.join_schedules(
+        [optax.linear_schedule(args.lr / 3, args.lr, warmup),
+         optax.constant_schedule(args.lr)], [warmup])
+    tx = optax.chain(optax.clip_by_global_norm(35.0),
+                     optax.sgd(sched, momentum=0.9),
+                     optax.add_decayed_weights(1e-4))
+    opt_state = tx.init(params)
+
+    fsz = [(item0['image'].shape[0] // s, item0['image'].shape[1] // s)
+           for s in cfg.head.strides]
+    pts = ph.level_points(cfg.head, fsz)
+    points = jnp.concatenate(pts)
+    strides_flat = jnp.concatenate([
+        jnp.full((p.shape[0],), s, jnp.float32)
+        for p, s in zip(pts, cfg.head.strides)])
+    regress_flat = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(r, jnp.float32), (p.shape[0], 2))
+        for p, r in zip(pts, cfg.head.regress_ranges)])
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, batch):
+        targets = jax.vmap(
+            lambda b, l, c3, c2, d, v: ph.build_targets(
+                cfg.head, points, strides_flat, regress_flat, b, l, c3,
+                c2, d, v))(batch['gt_bboxes'], batch['gt_labels'],
+                           batch['gt_cam3d'], batch['centers2d'],
+                           batch['depths'], batch['obj_valid'])
+
+        def loss_fn(p):
+            (preds, fuse), upd = model.apply(
+                {'params': p, 'batch_stats': bstats}, batch['image'],
+                train=True, mutable=['batch_stats'])
+            total, logs = ph.loss(cfg.head, preds, fuse, targets,
+                                  batch['cam2img'], fsz)
+            return total, (logs, upd['batch_stats'])
+
+        (tot, (logs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, logs
+
+    print(f'[3/4] training PGD {args.steps} steps '
+          f'on {pseudo_src} pseudo labels...')
+    t0 = time.time()
+    step = 0
+    epoch = 0
+    curve = []
+    params = jax.device_put(params)
+    bstats = jax.device_put(bstats)
+    opt_state = jax.device_put(opt_state)
+    while step < args.steps:
+        for batch in ds.epoch_batches(args.batch, seed=epoch + 1):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, bstats, opt_state, logs = train_step(
+                params, bstats, opt_state, batch)
+            step += 1
+            if step % 50 == 0 or step == 1:
+                print(f'  step {step}: loss={float(logs["loss"]):.3f}')
+            if args.eval_every and step % args.eval_every == 0 \
+                    and step < args.steps:
+                mid = evaluate_pgd(
+                    model, cfg, {'params': params, 'batch_stats': bstats},
+                    ds_test, infos)
+                curve.append(dict(step=step, **mid))
+                print(f'  [curve] step {step}: {json.dumps(mid)}')
+            if step >= args.steps:
+                break
+        epoch += 1
+    print(f'  trained {step} steps in {time.time() - t0:.0f}s')
+
+    print('[4/4] scoring TRAINED PGD vs synthetic GT...')
+    after = evaluate_pgd(model, cfg,
+                         {'params': params, 'batch_stats': bstats},
+                         ds_test, infos)
+    print('  trained:', json.dumps(after))
+    curve.append(dict(step=step, **after))
+
+    result = {
+        'metric': 'synthetic_kitti_stage4_pgd_AP11_3D_moderate',
+        'pseudo_source': pseudo_src,
+        'pseudo_data_quality': data_quality,
+        'untrained': before, 'trained': after, 'curve': curve,
+        'scenes': len(infos), 'train_steps': step,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, 'w') as f:
+            f.write('# ACCURACY stage 4 — PGD retrained on pseudo '
+                    'labels\n\n')
+            f.write(f'- pseudo source: {pseudo_src}\n')
+            f.write(f'- training-data quality: '
+                    f'{json.dumps(data_quality)}\n')
+            f.write(f'- untrained PGD: {json.dumps(before)}\n')
+            f.write(f'- trained PGD:   {json.dumps(after)}\n')
+    return result
+
+
+if __name__ == '__main__':
+    main()
