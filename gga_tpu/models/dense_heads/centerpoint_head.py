@@ -22,11 +22,19 @@ from ..layers import ConvModule2d, conv_init
 class SeparateHead(nn.Module):
     """Per-task branch heads (centerpoint_head.py:20): for each output key,
     (num_conv - 1) ConvModule(k=final_kernel)+BN+ReLU then a final conv with
-    bias; heatmap final bias initialized to init_bias."""
+    bias; heatmap final bias initialized to init_bias.
+
+    out_biases: optional {head_name: per-channel bias values} to start a
+    head at a prior (e.g. dim at log class-mean size, height at the class
+    gravity-z). TPU-delta vs the reference's zero init: with only weak 2D
+    supervision (GGA), dims/height learn slowly from far-off starts; a
+    prior init shifts where training begins, not what the losses train.
+    """
     heads: Dict[str, Tuple[int, int]]
     head_conv: int = 64
     final_kernel: int = 3
     init_bias: float = -2.19
+    out_biases: Dict[str, Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -36,8 +44,13 @@ class SeparateHead(nn.Module):
             for _ in range(num_conv - 1):
                 y = ConvModule2d(self.head_conv, self.final_kernel,
                                  use_bias=True)(y, train)
-            bias_init = (nn.initializers.constant(self.init_bias)
-                         if name == 'heatmap' else nn.initializers.zeros)
+            if name == 'heatmap':
+                bias_init = nn.initializers.constant(self.init_bias)
+            elif self.out_biases and name in self.out_biases:
+                bias_init = nn.initializers.constant(
+                    jnp.asarray(self.out_biases[name], jnp.float32))
+            else:
+                bias_init = nn.initializers.zeros
             y = nn.Conv(out_ch, (self.final_kernel, self.final_kernel),
                         padding='SAME', use_bias=True, dtype=y.dtype,
                         kernel_init=conv_init, bias_init=bias_init,
@@ -59,6 +72,8 @@ class CenterHead(nn.Module):
     common_heads: Dict[str, Tuple[int, int]] = None
     num_heatmap_convs: int = 2
     separate_head_final_kernel: int = 3
+    # optional per-task {head_name: bias values} prior inits
+    task_out_biases: Sequence[Dict[str, Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -74,6 +89,8 @@ class CenterHead(nn.Module):
                 SeparateHead(
                     heads=heads,
                     final_kernel=self.separate_head_final_kernel,
+                    out_biases=(self.task_out_biases[t]
+                                if self.task_out_biases else None),
                     name=f'task{t}')(x, train))
         return outs
 

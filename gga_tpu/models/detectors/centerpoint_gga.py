@@ -56,6 +56,13 @@ class GGAModelConfig:
     # 'bfloat16' runs the backbone/neck/head compute path in bf16 (params
     # and losses stay f32); default f32
     compute_dtype: str = 'float32'
+    # per-task (dx, dy, dz) class-mean dims; when set, the dim head's
+    # final bias starts at log(prior) and the height head at the class
+    # gravity-z (ground_z + dz/2) instead of zeros. Weak supervision
+    # (heatmap + 2D projection only) otherwise has to walk dims from
+    # exp(0)=1m, which dominates early training.
+    task_dim_priors: Tuple[Tuple[float, float, float], ...] = None
+    prior_ground_z: float = -1.73
 
     @classmethod
     def small(cls):
@@ -79,7 +86,9 @@ class GGAModelConfig:
             backbone_channels=(64, 128), backbone_layers=(2, 2),
             neck_channels=(64, 64),
             share_conv_channel=32,
-            head=head, max_per_task=32, post_max_size=32)
+            head=head, max_per_task=32, post_max_size=32,
+            task_dim_priors=((0.8, 0.6, 1.73), (1.76, 0.6, 1.73),
+                             (3.9, 1.6, 1.56)))
 
     @classmethod
     def tiny(cls):
@@ -146,9 +155,17 @@ class GGADetector(nn.Module):
         fused = SECONDFPN(in_channels=tuple(c.backbone_channels),
                           out_channels=tuple(c.neck_channels),
                           upsample_strides=tuple(c.neck_strides))(xs, train)
+        task_out_biases = None
+        if c.task_dim_priors is not None:
+            import math
+            task_out_biases = tuple(
+                dict(dim=tuple(math.log(d) for d in dims),
+                     height=(c.prior_ground_z + dims[2] / 2.0,))
+                for dims in c.task_dim_priors)
         return cp.CenterHead(
             tasks=tuple(c.tasks), in_channels=fused.shape[-1],
-            share_conv_channel=c.share_conv_channel)(fused, train)
+            share_conv_channel=c.share_conv_channel,
+            task_out_biases=task_out_biases)(fused, train)
 
 
 def decode_detections(cfg: GGAModelConfig, preds):
