@@ -211,6 +211,13 @@ def main():
     ap.add_argument('--dump-pseudo', default=None,
                     help='pickle the final matched pseudo infos here '
                          '(stage-3 output; feeds the stage-4 PGD bench)')
+    ap.add_argument('--pal', action='store_true',
+                    help='backprop the PAL point-to-box terms. The '
+                         'reference COMPUTES them but mmdet _parse_losses '
+                         'drops them (key lacks "loss"), leaving yaw '
+                         'unsupervised; measured here: yaw error is the '
+                         'binding constraint on weak-train AP (median '
+                         '0.64 rad without PAL). Documented delta.')
     ap.add_argument('--cfg', default='small', choices=['small', 'tiny'],
                     help='model variant; "small" keeps every voxel of an '
                          '8k-point scene (tiny\'s 512-voxel budget '
@@ -242,6 +249,10 @@ def main():
         infos, info_path = make_synth_kitti(args.root, args.scenes)
 
     cfg = getattr(GGAModelConfig, args.cfg)()
+    if args.pal:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, head=dataclasses.replace(cfg.head, pal_in_total_loss=True))
     model = GGADetector(cfg)
     ds = KittiGGADataset(args.root, info_path, max_points=8192,
                          max_objs=cfg.head.max_objs, max_cluster_pts=128,
@@ -331,6 +342,7 @@ def main():
         'stage1_labels': stage1,
         'untrained': before, 'trained': after, 'curve': curve,
         'scenes': args.scenes, 'train_steps': step, 'cfg': args.cfg,
+        'pal': args.pal,
     }
     print(json.dumps(result))
     if args.out:
