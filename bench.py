@@ -76,7 +76,8 @@ def main():
     from gga_tpu.train.loop import create_train_state
     from gga_tpu.train.optim import build_optimizer
 
-    B = 8                 # scenes per step (per chip)
+    import os
+    B = int(os.environ.get('GGA_BENCH_B', 8))  # scenes per step (per chip)
     P = 20000             # reduced-cloud points per scene
     M = 500               # padded object slots (reference max_objs,
                           # gga_kitti_config.py:72)
@@ -84,7 +85,9 @@ def main():
     K = 5                 # distinct batches threaded through the scan
 
     head = GGAHeadConfig(max_objs=M)
-    cfg = GGAModelConfig(head=head, compute_dtype='bfloat16')
+    cfg = GGAModelConfig(head=head, compute_dtype='bfloat16',
+                         remat_encoder=bool(
+                             int(os.environ.get('GGA_BENCH_REMAT', '0'))))
     model = GGADetector(cfg)
     batch_np = make_batch(B, P, M, Pc)
 

@@ -67,6 +67,14 @@ class GGAHeadConfig:
     focal_alpha: float = 0.0       # GaussianFocalLoss alpha (config :60)
     focal_gamma: float = 4.0
     pal_in_total_loss: bool = False  # reference quirk, see module docstring
+    # Optional class-prior dim anchor (TPU-delta, default OFF = parity):
+    # L1 of predicted log-dims to log class-mean dims. The weak losses
+    # under-constrain width downward (PAL's min-edge distance is satisfied
+    # by the near face; SRL only ties the l/w ratio; only BPL's sparse
+    # corner projection resists shrinkage) — measured: width collapses
+    # -0.66 m median over 8k weak steps without the anchor.
+    task_dim_priors: Tuple[Tuple[float, float, float], ...] = None
+    loss_dim_prior_weight: float = 0.0
 
     @property
     def feature_map_size(self):
@@ -301,6 +309,15 @@ def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
         loss_bpl = _l1(pred_iou, tt['anno_box'][..., :4], w_bpl, avg,
                        cfg.l1_loss_weight)
 
+        # optional dim-prior anchor (see GGAHeadConfig.task_dim_priors)
+        if cfg.loss_dim_prior_weight > 0.0 and cfg.task_dim_priors:
+            log_prior = jnp.log(jnp.asarray(cfg.task_dim_priors[t],
+                                            jnp.float32))
+            loss_dim_prior = _l1(pred[..., 3:6], log_prior[None, None],
+                                 maskf[..., None], avg, cfg.l1_loss_weight)
+            logs[f'task{t}.loss_dim_prior'] = (
+                loss_dim_prior * cfg.loss_dim_prior_weight)
+
         logs[f'task{t}.loss_heatmap'] = loss_hm * cfg.loss_heatmap_weight
         logs[f'task{t}.loss_bbox'] = loss_bpl * cfg.loss_bpl_weight
         logs[f'task{t}.loss_ratio'] = loss_srl * cfg.loss_srl_weight
@@ -310,6 +327,8 @@ def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
 
         total = (total + logs[f'task{t}.loss_heatmap']
                  + logs[f'task{t}.loss_bbox'] + logs[f'task{t}.loss_ratio'])
+        if f'task{t}.loss_dim_prior' in logs:
+            total = total + logs[f'task{t}.loss_dim_prior']
         if cfg.pal_in_total_loss:
             total = (total + logs[f'task{t}.distancemin']
                      + logs[f'task{t}.distancex']

@@ -63,6 +63,9 @@ class GGAModelConfig:
     # exp(0)=1m, which dominates early training.
     task_dim_priors: Tuple[Tuple[float, float, float], ...] = None
     prior_ground_z: float = -1.73
+    # rematerialize sparse-encoder residual blocks (memory-for-compute;
+    # lets B=16 fit — see SparseEncoder.remat_blocks)
+    remat_encoder: bool = False
 
     @classmethod
     def small(cls):
@@ -146,7 +149,8 @@ class GGADetector(nn.Module):
             encoder_channels=tuple(c.encoder_channels),
             encoder_paddings=tuple(c.encoder_paddings),
             stage_budgets=tuple(c.encoder_budgets),
-            out_budget=c.encoder_out_budget)(feats, coords, vvalid, train)
+            out_budget=c.encoder_out_budget,
+            remat_blocks=c.remat_encoder)(feats, coords, vvalid, train)
 
         xs = SECOND(in_channels=bev.shape[-1],
                     out_channels=tuple(c.backbone_channels),

@@ -44,6 +44,11 @@ class SparseEncoder(nn.Module):
     # also return per-stage sparse outputs (SASSD's encode_features,
     # sparse_encoder.py:292-295)
     return_stages: bool = False
+    # rematerialize residual blocks in the backward pass: recomputes the
+    # block's gathers instead of storing activations — trades ~fwd-time
+    # for the memory that blocks B=16 (B=16 OOMs by 139 MB at B=8's
+    # operating point, CLAUDE.md)
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool = True):
@@ -68,6 +73,20 @@ class SparseEncoder(nn.Module):
         c, v, g = coords, valid, grid
 
         assert self.block_type in ('basicblock', 'conv_module')
+        # grid and train are static python values (argnums count self=0).
+        # Explicit names keep param paths identical with remat on/off
+        # (nn.remat's auto-name would be remat(Checkpoint...), forking the
+        # init RNG stream and breaking checkpoint compatibility).
+        n_blocks = 0
+
+        def Block(out_ch):
+            nonlocal n_blocks
+            name = f'SparseBasicBlock_{n_blocks}'
+            n_blocks += 1
+            if self.remat_blocks:
+                return nn.remat(SparseBasicBlock,
+                                static_argnums=(4, 5))(out_ch, name=name)
+            return SparseBasicBlock(out_ch, name=name)
         num_stages = len(self.encoder_channels)
         stages = []
         for i, blocks in enumerate(self.encoder_channels):
@@ -99,8 +118,7 @@ class SparseEncoder(nn.Module):
 
                         nmap, hit = jax.vmap(make_map_g)(c, v)
                     else:
-                        x = SparseBasicBlock(out_ch)(x, c, v, g, train,
-                                                     nmap=nmap, hit=hit)
+                        x = Block(out_ch)(x, c, v, g, train, nmap, hit)
                 else:  # conv_module (sparse_encoder.make_encoder_layers)
                     is_down = (i != 0 and j == 0)
                     if is_down:
