@@ -218,6 +218,13 @@ def main():
                          'unsupervised; measured here: yaw error is the '
                          'binding constraint on weak-train AP (median '
                          '0.64 rad without PAL). Documented delta.')
+    ap.add_argument('--dim-prior', type=float, default=0.0,
+                    help='weight for the class-prior dim anchor loss '
+                         '(L1 of predicted log-dims to class-mean dims). '
+                         'Counters the width collapse PAL induces '
+                         '(-0.66 m median at 8k steps): the min-edge '
+                         'distance is satisfied by the near face, so '
+                         'nothing resists shrinkage. Documented delta.')
     ap.add_argument('--cfg', default='small', choices=['small', 'tiny'],
                     help='model variant; "small" keeps every voxel of an '
                          '8k-point scene (tiny\'s 512-voxel budget '
@@ -249,10 +256,16 @@ def main():
         infos, info_path = make_synth_kitti(args.root, args.scenes)
 
     cfg = getattr(GGAModelConfig, args.cfg)()
-    if args.pal:
+    if args.pal or args.dim_prior > 0.0:
         import dataclasses
+        head_kw = {}
+        if args.pal:
+            head_kw['pal_in_total_loss'] = True
+        if args.dim_prior > 0.0:
+            head_kw['task_dim_priors'] = cfg.task_dim_priors
+            head_kw['loss_dim_prior_weight'] = args.dim_prior
         cfg = dataclasses.replace(
-            cfg, head=dataclasses.replace(cfg.head, pal_in_total_loss=True))
+            cfg, head=dataclasses.replace(cfg.head, **head_kw))
     model = GGADetector(cfg)
     ds = KittiGGADataset(args.root, info_path, max_points=8192,
                          max_objs=cfg.head.max_objs, max_cluster_pts=128,
