@@ -75,6 +75,12 @@ class GGAHeadConfig:
     # -0.66 m median over 8k weak steps without the anchor.
     task_dim_priors: Tuple[Tuple[float, float, float], ...] = None
     loss_dim_prior_weight: float = 0.0
+    # Optional init-pseudo yaw anchor (TPU-delta, default OFF = parity):
+    # L1 of predicted (sin, cos) to the stage-1 calipers yaw. PAL is the
+    # only yaw signal otherwise and it has corner/one-face local minima
+    # (measured: yaw p90 0.55 rad with PAL+dim-prior while the stage-1
+    # yaw itself scores 86.8 AP on the synthetic loop).
+    loss_yaw_prior_weight: float = 0.0
 
     @property
     def feature_map_size(self):
@@ -160,6 +166,10 @@ def build_targets(cfg: GGAHeadConfig, rng, labels, valid,
             mask=mask,
             boundary_mask=(~bdry_masks).astype(jnp.float32),
             lidar2img=lidar2img,
+            # init-pseudo yaw, for the optional yaw-prior anchor (the
+            # stage-1 calipers yaw is high quality; unused unless
+            # cfg.loss_yaw_prior_weight > 0)
+            yaw=init_pseudo[..., 6],
         ))
     return targets
 
@@ -318,6 +328,15 @@ def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
             logs[f'task{t}.loss_dim_prior'] = (
                 loss_dim_prior * cfg.loss_dim_prior_weight)
 
+        # optional yaw anchor to the stage-1 calipers yaw (see config)
+        if cfg.loss_yaw_prior_weight > 0.0:
+            tgt_rot = jnp.stack([jnp.sin(tt['yaw']), jnp.cos(tt['yaw'])],
+                                axis=-1)
+            loss_yaw_prior = _l1(pred[..., 6:8], tgt_rot,
+                                 maskf[..., None], avg, cfg.l1_loss_weight)
+            logs[f'task{t}.loss_yaw_prior'] = (
+                loss_yaw_prior * cfg.loss_yaw_prior_weight)
+
         logs[f'task{t}.loss_heatmap'] = loss_hm * cfg.loss_heatmap_weight
         logs[f'task{t}.loss_bbox'] = loss_bpl * cfg.loss_bpl_weight
         logs[f'task{t}.loss_ratio'] = loss_srl * cfg.loss_srl_weight
@@ -329,6 +348,8 @@ def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
                  + logs[f'task{t}.loss_bbox'] + logs[f'task{t}.loss_ratio'])
         if f'task{t}.loss_dim_prior' in logs:
             total = total + logs[f'task{t}.loss_dim_prior']
+        if f'task{t}.loss_yaw_prior' in logs:
+            total = total + logs[f'task{t}.loss_yaw_prior']
         if cfg.pal_in_total_loss:
             total = (total + logs[f'task{t}.distancemin']
                      + logs[f'task{t}.distancex']

@@ -175,3 +175,62 @@ def test_dim_prior_anchor_loss():
     _, logs_off = gga.loss(CFG, preds_with_dims(box[3:6]), targets[:3],
                            ibp, ibp_valid)
     assert 'task2.loss_dim_prior' not in logs_off
+
+
+def test_yaw_prior_anchor_loss():
+    """Optional init-pseudo yaw anchor: zero when predicted sin/cos match
+    the pseudo yaw, positive when rotated, absent at weight 0."""
+    box = np.array([20.0, 2.0, -1.5, 3.9, 1.6, 1.56, 0.3], np.float32)
+    box2d = _project_box2d(box).astype(np.float32)
+    cfg = gga.GGAHeadConfig(
+        voxel_size=CFG.voxel_size, point_cloud_range=CFG.point_cloud_range,
+        grid_size=CFG.grid_size, max_objs=8, loss_yaw_prior_weight=0.5)
+
+    B, M = 1, cfg.max_objs
+    labels = np.full((B, M), -1, np.int32)
+    labels[0, 0] = 2
+    valid = np.zeros((B, M), bool)
+    valid[0, 0] = True
+    pseudo = np.zeros((B, M, 7), np.float32)
+    pseudo[0, 0] = box
+    boxes_img = np.zeros((B, M, 4), np.float32)
+    boxes_img[0, 0] = box2d
+    bdry = np.zeros((B, M, 4), bool)
+    l2i = np.broadcast_to(L2I, (B, M, 4, 4)).copy()
+    targets = gga.build_targets(cfg, jax.random.PRNGKey(0),
+                                jnp.asarray(labels), jnp.asarray(valid),
+                                jnp.asarray(pseudo),
+                                jnp.asarray(boxes_img), jnp.asarray(bdry),
+                                jnp.asarray(l2i))
+    W, H = cfg.feature_map_size
+    ind = int(np.asarray(targets[2]['ind'])[0, 0])
+    iy, ix = ind // W, ind % W
+
+    def mk(ch, vals, base=0.0):
+        m = np.full((B, H, W, ch), base, np.float32)
+        m[0, iy, ix] = vals
+        return jnp.asarray(m)
+
+    def preds_with_yaw(yaw):
+        car = dict(heatmap=mk(1, [10.0], base=-10.0),
+                   reg=mk(2, [0.0, 0.0]), height=mk(1, [box[2]]),
+                   dim=mk(3, np.log(box[3:6])),
+                   rot=mk(2, [np.sin(yaw), np.cos(yaw)]))
+        zero = {k: (jnp.full_like(v, -10.0) if k == 'heatmap'
+                    else jnp.zeros_like(v)) for k, v in car.items()}
+        return [zero, zero, car]
+
+    ibp = jnp.zeros((B, M, 8, 2), jnp.float32)
+    ibp_valid = jnp.zeros((B, M, 8), bool)
+
+    _, logs_exact = gga.loss(cfg, preds_with_yaw(box[6]), targets,
+                             ibp, ibp_valid)
+    assert float(logs_exact['task2.loss_yaw_prior']) < 1e-6
+    _, logs_rot = gga.loss(cfg, preds_with_yaw(box[6] + 0.5), targets,
+                           ibp, ibp_valid)
+    assert float(logs_rot['task2.loss_yaw_prior']) > 1e-3
+    assert (float(logs_rot['loss']) - float(logs_exact['loss'])
+            >= float(logs_rot['task2.loss_yaw_prior']) * 0.5)
+    _, logs_off = gga.loss(CFG, preds_with_yaw(box[6] + 0.5), targets[:3],
+                           ibp, ibp_valid)
+    assert 'task2.loss_yaw_prior' not in logs_off

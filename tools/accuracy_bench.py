@@ -225,6 +225,12 @@ def main():
                          '(-0.66 m median at 8k steps): the min-edge '
                          'distance is satisfied by the near face, so '
                          'nothing resists shrinkage. Documented delta.')
+    ap.add_argument('--yaw-prior', type=float, default=0.0,
+                    help='weight for the init-pseudo yaw anchor (L1 of '
+                         'predicted sin/cos to the stage-1 calipers '
+                         'yaw). PAL is otherwise the only yaw signal '
+                         'and has corner local minima (yaw p90 0.55 '
+                         'rad measured). Documented delta.')
     ap.add_argument('--cfg', default='small', choices=['small', 'tiny'],
                     help='model variant; "small" keeps every voxel of an '
                          '8k-point scene (tiny\'s 512-voxel budget '
@@ -256,7 +262,7 @@ def main():
         infos, info_path = make_synth_kitti(args.root, args.scenes)
 
     cfg = getattr(GGAModelConfig, args.cfg)()
-    if args.pal or args.dim_prior > 0.0:
+    if args.pal or args.dim_prior > 0.0 or args.yaw_prior > 0.0:
         import dataclasses
         head_kw = {}
         if args.pal:
@@ -264,6 +270,8 @@ def main():
         if args.dim_prior > 0.0:
             head_kw['task_dim_priors'] = cfg.task_dim_priors
             head_kw['loss_dim_prior_weight'] = args.dim_prior
+        if args.yaw_prior > 0.0:
+            head_kw['loss_yaw_prior_weight'] = args.yaw_prior
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, **head_kw))
     model = GGADetector(cfg)
