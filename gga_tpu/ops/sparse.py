@@ -116,6 +116,62 @@ def _ranks_via_merge(table_lin, queries):
     return jnp.maximum(rank_le - 1, 0), hit, rank_le
 
 
+# Neighbor ranks via a bucketed occupancy-bitmask table instead of the
+# batched merge sort: one 4-byte gather per query replaces each query's
+# share of a [K, 2N] sort. Buckets cover 32 consecutive linear ids;
+# since table rows are sorted by lin, the bucket's first present row
+# already IS the bucket's base rank — build needs two N-row scatters and
+# no sort/cumsum. Gated while being A/B'd on the full step (CLAUDE.md:
+# microbench wins must be confirmed integrated before landing).
+NMAP_HASH = os.environ.get('GGA_NMAP_HASH', '0') == '1'
+_BUCKET_BITS = 5  # 32 cells per bucket
+
+
+def _bucket_table(table_lin, big):
+    """(mask [NB] int32, start [NB] int32) occupancy table of the sorted
+    linear-id table. mask bit (lin & 31) is set iff lin is present;
+    start is the row index of the bucket's first present row (n where
+    the bucket is empty — only read when a bit hits). Rows with
+    lin >= big (invalid, parked last) are routed out of bounds and
+    dropped by the scatters."""
+    nb = (int(big) >> _BUCKET_BITS) + 1
+    n = table_lin.shape[0]
+    one = jnp.int32(1)
+    bucket = jax.lax.shift_right_logical(table_lin, _BUCKET_BITS)
+    bucket = jnp.where(table_lin >= big, jnp.int32(nb), bucket)
+    bit = table_lin & 31
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # one [NB, 2] table so lookups pay ONE gathered row per query (the
+    # gather is row-rate bound, so the 8-byte row costs the same as 4)
+    init = jnp.broadcast_to(jnp.asarray([0, n], jnp.int32), (nb, 2))
+    # add(-n) then min(iota): column 1 starts at n via the init and the
+    # mask column's add must not disturb it, so scatter per column
+    tbl = init.at[bucket, 0].add(jax.lax.shift_left(one, bit),
+                                 mode='drop')
+    tbl = tbl.at[bucket, 1].min(iota, mode='drop')
+    return tbl
+
+
+def _ranks_via_buckets(table_lin, big, queries):
+    """(pos, hit) with the same contract as ``_ranks_via_merge``'s first
+    two results (pos clipped/arbitrary where not hit); queries may be
+    any int32 values — out-of-range ones simply miss."""
+    tbl = _bucket_table(table_lin, big)
+    q = queries.astype(jnp.int32)
+    inb = (q >= 0) & (q < big)
+    qc = jnp.where(inb, q, 0)
+    b = jax.lax.shift_right_logical(qc, _BUCKET_BITS)
+    bit = qc & 31
+    row = tbl[b]                       # [..., 2]: (mask, start)
+    m = row[..., 0]
+    one = jnp.int32(1)
+    hit = inb & ((jax.lax.shift_right_logical(m, bit) & one) == one)
+    below = jax.lax.shift_left(one, bit) - one
+    pos = row[..., 1] + jax.lax.population_count(m & below)
+    n = table_lin.shape[0]
+    return jnp.clip(pos, 0, max(n - 1, 0)), hit
+
+
 def _neighbor_pos_hit(st: SparseTensor, query_coords, query_valid,
                       kernel_size, stride, padding):
     """(pos [K, Q], hit [K, Q]) of input rows at
@@ -135,7 +191,10 @@ def _neighbor_pos_hit(st: SparseTensor, query_coords, query_valid,
     # out-of-bounds targets may wrap to a real row's linear id; the
     # in_bounds mask (pure vector math, no lookup) kills those hits, and
     # invalid table rows (lin == big) can't be hit by in-bounds queries
-    pos, hit, _ = _ranks_via_merge(lin_in, lin_t)
+    if NMAP_HASH:
+        pos, hit = _ranks_via_buckets(lin_in, big, lin_t)
+    else:
+        pos, hit, _ = _ranks_via_merge(lin_in, lin_t)
     hit = hit & in_bounds & query_valid[None, :]
     return pos, hit
 
@@ -417,7 +476,10 @@ def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
     k = _triple(kernel_size)
     pad = tuple((x - 1) // 2 for x in k)
     K = int(np.prod(k))
-    if K % 2 == 0:
+    if K % 2 == 0 or NMAP_HASH:
+        # bucket-table lookups cost one gather per (offset, row) — the
+        # half-resolve + mirror-scatter trick only pays when sorts
+        # dominate, so resolve all offsets directly
         return _neighbor_pos_hit(st, st.coords, st.valid, k, (1, 1, 1),
                                  pad)
     H = K // 2

@@ -207,3 +207,48 @@ def test_symmetric_nmap_matches_full_resolution():
             np.testing.assert_array_equal(
                 np.where(np.asarray(hit), np.asarray(pos), -1),
                 np.where(np.asarray(hit0), np.asarray(pos0), -1))
+
+
+def test_bucket_ranks_match_merge_ranks():
+    """_ranks_via_buckets must agree with _ranks_via_merge exactly
+    (pos where hit, hit everywhere) for in-range queries, and miss for
+    out-of-range ones — including bit-31 bucket positions, empty
+    buckets, and invalid (parked) table rows."""
+    rng = np.random.RandomState(7)
+    for grid, n_act, n_rows in [((8, 16, 16), 100, 120),
+                                ((4, 7, 7), 20, 50),
+                                ((2, 3, 64), 64, 64)]:
+        nz, ny, nx = grid
+        total = nz * ny * nx
+        lin = np.sort(rng.choice(total, n_act, replace=False))
+        table = np.concatenate(
+            [lin, np.full(n_rows - n_act, total)]).astype(np.int32)
+        q = np.concatenate([
+            rng.randint(-5, total + 5, size=300),
+            lin[rng.randint(0, n_act, size=100)],  # guaranteed hits
+            [0, total - 1, total, -1, 31, 32, 33, 1],
+        ]).astype(np.int32).reshape(4, -1)
+        pos_m, hit_m, _ = sp._ranks_via_merge(
+            jnp.asarray(table), jnp.asarray(q))
+        pos_b, hit_b = sp._ranks_via_buckets(
+            jnp.asarray(table), np.int32(total), jnp.asarray(q))
+        hit_m = np.asarray(hit_m) & (q >= 0) & (q < total)
+        np.testing.assert_array_equal(np.asarray(hit_b), hit_m)
+        np.testing.assert_array_equal(
+            np.where(hit_m, np.asarray(pos_b), -1),
+            np.where(hit_m, np.asarray(pos_m), -1))
+
+
+def test_bucket_nmap_matches_sort_nmap(monkeypatch):
+    """build_neighbor_map under GGA_NMAP_HASH must equal the sort-based
+    resolution bit for bit."""
+    monkeypatch.setattr(sp, 'NMAP_HASH', False)
+    rng = np.random.RandomState(3)
+    st = _random_sparse(rng, (6, 12, 32), 90, 128, 2)
+    pos0, hit0 = sp.build_neighbor_map(st)
+    monkeypatch.setattr(sp, 'NMAP_HASH', True)
+    pos1, hit1 = sp.build_neighbor_map(st)
+    np.testing.assert_array_equal(np.asarray(hit0), np.asarray(hit1))
+    np.testing.assert_array_equal(
+        np.where(np.asarray(hit0), np.asarray(pos0), -1),
+        np.where(np.asarray(hit1), np.asarray(pos1), -1))
