@@ -231,6 +231,13 @@ def main():
                          'yaw). PAL is otherwise the only yaw signal '
                          'and has corner local minima (yaw p90 0.55 '
                          'rad measured). Documented delta.')
+    ap.add_argument('--budget-scale', type=float, default=1.0,
+                    help='scale the sparse voxel/stage budgets of the '
+                         'model cfg (<1 forces coordinate-order '
+                         'truncation, the documented overflow bias of '
+                         'the engine) — measures the AP impact of '
+                         'saturated budgets (CLAUDE.md: stage0/1 '
+                         'budgets saturate on dense real scenes)')
     ap.add_argument('--cfg', default='small', choices=['small', 'tiny'],
                     help='model variant; "small" keeps every voxel of an '
                          '8k-point scene (tiny\'s 512-voxel budget '
@@ -262,6 +269,15 @@ def main():
         infos, info_path = make_synth_kitti(args.root, args.scenes)
 
     cfg = getattr(GGAModelConfig, args.cfg)()
+    if args.budget_scale != 1.0:
+        import dataclasses
+        s = args.budget_scale
+        cfg = dataclasses.replace(
+            cfg,
+            max_voxels=max(256, int(cfg.max_voxels * s)),
+            encoder_budgets=tuple(max(256, int(b * s))
+                                  for b in cfg.encoder_budgets),
+            encoder_out_budget=max(256, int(cfg.encoder_out_budget * s)))
     if args.pal or args.dim_prior > 0.0 or args.yaw_prior > 0.0:
         import dataclasses
         head_kw = {}
