@@ -88,7 +88,62 @@ def stage1_pseudo_infos(infos):
     return out
 
 
-def evaluate_pgd(model, cfg, variables, ds, infos):
+def stack_dataset_on_device(ds):
+    """Device-cache every sample once: the axon relay's host->device
+    path makes per-step image-batch transfers (~43 MB) the bottleneck
+    (measured ~7-10 s/step); with the [N, ...] stacks resident on the
+    chip, per-step batch assembly is an on-device gather.
+
+    Images are cached as PADDED RAW uint8 (one contiguous device_put of
+    ~138 MB — the normalized-f32 stack is 550 MB and stalled the relay)
+    and normalized on-device in the jitted steps (see normalize_images).
+    """
+    import jax
+    from PIL import Image
+
+    from gga_tpu.data.kitti.mono_dataset import IMG_H, IMG_W
+
+    items = [ds[i] for i in range(len(ds))]
+    out = {}
+    for k in items[0]:
+        if k == 'image':
+            continue
+        out[k] = jax.device_put(
+            np.stack([np.asarray(it[k]) for it in items]))
+    raw = np.zeros((len(ds), IMG_H, IMG_W, 3), np.uint8)
+    for i in range(len(ds)):
+        info = ds.infos[i]
+        path = os.path.join(ds.root, info['image']['image_path'])
+        img = np.asarray(Image.open(path).convert('RGB'), np.uint8)
+        h, w = min(img.shape[0], IMG_H), min(img.shape[1], IMG_W)
+        raw[i, :h, :w] = img[:h, :w]
+    # chunked transfer: the relay stalls on one 138 MB device_put but
+    # moves ~10 MB bodies fine; concatenate on-device
+    import jax.numpy as jnp
+    chunk = 8
+    parts = []
+    t0 = time.time()
+    for i in range(0, len(ds), chunk):
+        parts.append(jax.device_put(raw[i:i + chunk]))
+        jax.block_until_ready(parts[-1])
+        print(f'    image chunk {i + chunk}/{len(ds)} '
+              f'({time.time() - t0:.0f}s)', flush=True)
+    out['image_u8'] = jnp.concatenate(parts)
+    return out
+
+
+def normalize_images(u8):
+    """On-device replica of KittiMonoDataset._load_image's caffe norm:
+    RGB->BGR flip then per-channel mean subtraction (zero padding in the
+    raw cache maps to constant -IMG_MEAN, same as padding after norm)."""
+    import jax.numpy as jnp
+
+    from gga_tpu.data.kitti.mono_dataset import IMG_MEAN
+
+    return u8[..., ::-1].astype(jnp.float32) - jnp.asarray(IMG_MEAN)
+
+
+def evaluate_pgd(model, cfg, variables, ds_dev, n, img_shape, infos):
     """PGD inference over all scenes -> KITTI AP vs the synthetic GT."""
     import jax
     import jax.numpy as jnp
@@ -97,25 +152,24 @@ def evaluate_pgd(model, cfg, variables, ds, infos):
     from gga_tpu.eval.submission import mono_detections_to_kitti_annos
     from gga_tpu.models.dense_heads import pgd_head as ph
 
-    item0 = ds[0]
-    fsz = [(item0['image'].shape[0] // s, item0['image'].shape[1] // s)
+    fsz = [(img_shape[0] // s, img_shape[1] // s)
            for s in cfg.head.strides]
 
+    # ds_dev is an explicit argument: closing over device arrays bakes
+    # them into the HLO as constants, and the remote-compile relay
+    # rejects the resulting multi-hundred-MB program (HTTP 413).
     @jax.jit
-    def infer(v, images, cam2img):
+    def infer(v, dsd, idx):
+        images = normalize_images(dsd['image_u8'][idx])
+        cam2img = dsd['cam2img'][idx]
         preds, fuse = model.apply(v, images, train=False)
         return ph.decode(cfg.head, preds, fuse, cam2img, fsz)
 
     B = 4
     detections = []
-    n = len(ds)
     for i in range(0, n, B):
-        imgs = np.stack([ds[min(i + j, n - 1)]['image']
-                         for j in range(B)])
-        cams = np.stack([ds[min(i + j, n - 1)]['cam2img']
-                         for j in range(B)])
-        out = jax.device_get(infer(variables, jnp.asarray(imgs),
-                                   jnp.asarray(cams)))
+        idx = np.minimum(np.arange(i, i + B), n - 1)
+        out = jax.device_get(infer(variables, ds_dev, jnp.asarray(idx)))
         for j in range(min(B, n - i)):
             v = out['valid'][j]
             detections.append(dict(
@@ -226,10 +280,12 @@ def main():
     cfg = PGDModelConfig.tiny()
     model = PGDDetector(cfg)
     ds = KittiMonoDataset(args.root, pseudo_path, max_objs=16)
-    ds_test = KittiMonoDataset(args.root, pseudo_path, max_objs=16,
-                               test_mode=True)
 
     item0 = ds[0]
+    n_scenes = len(ds)
+    print(f'  device-caching {n_scenes} scenes...')
+    ds_dev = stack_dataset_on_device(ds)
+    img_shape = item0['image'].shape
     variables = model.init(jax.random.PRNGKey(0), item0['image'][None],
                            train=False)
     params = variables['params']
@@ -241,7 +297,7 @@ def main():
     print('[2/4] scoring UNTRAINED PGD...')
     before = evaluate_pgd(model, cfg,
                           {'params': params, 'batch_stats': bstats},
-                          ds_test, infos)
+                          ds_dev, n_scenes, img_shape, infos)
     print('  untrained:', json.dumps(before))
 
     # SGD + warmup like gga_pdg.py:152-166, flat after warmup (tiny run)
@@ -266,7 +322,9 @@ def main():
         for p, r in zip(pts, cfg.head.regress_ranges)])
 
     @jax.jit
-    def train_step(params, bstats, opt_state, batch):
+    def train_step(params, bstats, opt_state, dsd, idx):
+        batch = {k: v[idx] for k, v in dsd.items()}
+        batch['image'] = normalize_images(batch.pop('image_u8'))
         targets = jax.vmap(
             lambda b, l, c3, c2, d, v: ph.build_targets(
                 cfg.head, points, strides_flat, regress_flat, b, l, c3,
@@ -298,10 +356,13 @@ def main():
     bstats = jax.device_put(bstats)
     opt_state = jax.device_put(opt_state)
     while step < args.steps:
-        for batch in ds.epoch_batches(args.batch, seed=epoch + 1):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        order = np.arange(n_scenes)
+        np.random.RandomState(epoch + 1).shuffle(order)
+        n_full = n_scenes // args.batch * args.batch
+        for i in range(0, n_full, args.batch):
+            idx = jnp.asarray(order[i:i + args.batch])
             params, bstats, opt_state, logs = train_step(
-                params, bstats, opt_state, batch)
+                params, bstats, opt_state, ds_dev, idx)
             step += 1
             if step % 50 == 0 or step == 1:
                 print(f'  step {step}: loss={float(logs["loss"]):.3f}')
@@ -309,7 +370,7 @@ def main():
                     and step < args.steps:
                 mid = evaluate_pgd(
                     model, cfg, {'params': params, 'batch_stats': bstats},
-                    ds_test, infos)
+                    ds_dev, n_scenes, img_shape, infos)
                 curve.append(dict(step=step, **mid))
                 print(f'  [curve] step {step}: {json.dumps(mid)}')
             if step >= args.steps:
@@ -320,7 +381,7 @@ def main():
     print('[4/4] scoring TRAINED PGD vs synthetic GT...')
     after = evaluate_pgd(model, cfg,
                          {'params': params, 'batch_stats': bstats},
-                         ds_test, infos)
+                         ds_dev, n_scenes, img_shape, infos)
     print('  trained:', json.dumps(after))
     curve.append(dict(step=step, **after))
 
