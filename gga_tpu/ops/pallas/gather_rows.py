@@ -67,3 +67,67 @@ def gather_rows_pallas(src, idx, interpret=False):
         out_shape=jax.ShapeDtypeStruct((m, src.shape[1]), src.dtype),
         interpret=interpret,
     )(idx, src)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 variants: probe whether ANY in-kernel form beats the 1-row
+# fori_loop's ~7 ns/row issue rate (XLA's HBM gather: ~2.5 ns/row).
+# Run tools/microbench_pallas_gather2.py before wiring anything in.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_unroll(unroll, idx_ref, src_ref, out_ref):
+    """Unrolled row copies: amortize loop control over `unroll` copies."""
+    def body(j, _):
+        base = j * unroll
+        for u in range(unroll):
+            row = idx_ref[base + u]
+            out_ref[pl.ds(base + u, 1), :] = src_ref[pl.ds(row, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, TILE_M // unroll, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('unroll', 'interpret'))
+def gather_rows_unroll(src, idx, unroll=8, interpret=False):
+    m = idx.shape[0]
+    assert m % TILE_M == 0, m
+    return pl.pallas_call(
+        functools.partial(_kernel_unroll, unroll),
+        grid=(m // TILE_M,),
+        in_specs=[
+            pl.BlockSpec((TILE_M,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(src.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, src.shape[1]),
+                               lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, src.shape[1]), src.dtype),
+        interpret=interpret,
+    )(idx, src)
+
+
+def _kernel_vec(idx_ref, src_ref, out_ref):
+    """Vectorized fancy-index on a loaded VALUE: if Mosaic lowers
+    jnp.take (lax.gather) on a VMEM-resident array to a hardware
+    sublane-gather, this issues many descriptors per instruction."""
+    out_ref[:] = jnp.take(src_ref[:], idx_ref[:], axis=0,
+                          indices_are_sorted=False, fill_value=None)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def gather_rows_vec(src, idx, interpret=False):
+    m = idx.shape[0]
+    assert m % TILE_M == 0, m
+    return pl.pallas_call(
+        _kernel_vec,
+        grid=(m // TILE_M,),
+        in_specs=[
+            pl.BlockSpec((TILE_M,), lambda i: (i,)),   # idx in VMEM
+            pl.BlockSpec(src.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, src.shape[1]),
+                               lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, src.shape[1]), src.dtype),
+        interpret=interpret,
+    )(idx, src)
