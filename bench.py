@@ -85,7 +85,12 @@ def main():
     K = 5                 # distinct batches threaded through the scan
 
     head = GGAHeadConfig(max_objs=M)
+    # GGA_BENCH_TILE='1,2,3' runs those encoder stages on the dense-tile
+    # engine (ops/tile_conv.py) for the A/B against the row engine
+    tile_env = os.environ.get('GGA_BENCH_TILE', '')
+    tile_stages = tuple(int(s) for s in tile_env.split(',') if s)
     cfg = GGAModelConfig(head=head, compute_dtype='bfloat16',
+                         encoder_tile_stages=tile_stages,
                          remat_encoder=bool(
                              int(os.environ.get('GGA_BENCH_REMAT', '0'))))
     model = GGADetector(cfg)

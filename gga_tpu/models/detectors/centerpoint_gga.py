@@ -66,6 +66,12 @@ class GGAModelConfig:
     # rematerialize sparse-encoder residual blocks (memory-for-compute;
     # lets B=16 fit — see SparseEncoder.remat_blocks)
     remat_encoder: bool = False
+    # dense-tile engine for these encoder stages' residual blocks
+    # (SparseEncoder.tile_stages; stage 0 doesn't cluster — leave it
+    # on the row engine)
+    encoder_tile_stages: Tuple[int, ...] = ()
+    encoder_tile_shape: Tuple[int, int, int] = (2, 4, 4)
+    encoder_tile_budgets: Tuple[int, ...] = (0, 7168, 3072, 1536)
 
     @classmethod
     def small(cls):
@@ -150,7 +156,11 @@ class GGADetector(nn.Module):
             encoder_paddings=tuple(c.encoder_paddings),
             stage_budgets=tuple(c.encoder_budgets),
             out_budget=c.encoder_out_budget,
-            remat_blocks=c.remat_encoder)(feats, coords, vvalid, train)
+            remat_blocks=c.remat_encoder,
+            tile_stages=tuple(c.encoder_tile_stages),
+            tile_shape=tuple(c.encoder_tile_shape),
+            tile_budgets=tuple(c.encoder_tile_budgets))(
+                feats, coords, vvalid, train)
 
         xs = SECOND(in_channels=bev.shape[-1],
                     out_channels=tuple(c.backbone_channels),

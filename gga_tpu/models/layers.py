@@ -210,7 +210,13 @@ class SparseConvBlock(nn.Module):
 class SubMConv3dMapped(nn.Module):
     """Submanifold conv on a precomputed neighbor map (the binary-search
     neighbor resolution is shared across every SubM conv of a stage —
-    ops.sparse.build_neighbor_map)."""
+    ops.sparse.build_neighbor_map).
+
+    Tile form: when ``feats`` is a 5-D dense-tile array
+    [Tf, tz, ty, tx, C] (ops.tile_conv), ``nmap``/``hit`` are the tile
+    neighbor map [27, Tf] and ``valid`` is the [Tf, tz, ty, tx] active
+    cell mask. Same 'kernel' param either way, so checkpoints are
+    engine-independent."""
     out_channels: int
     kernel_size: int = 3
 
@@ -219,6 +225,9 @@ class SubMConv3dMapped(nn.Module):
         k3 = self.kernel_size ** 3
         w = self.param('kernel', conv_init,
                        (k3, feats.shape[-1], self.out_channels))
+        if feats.ndim == 5:
+            from ..ops import tile_conv as tc
+            return tc.tile_subm_conv(feats, nmap, hit, valid, w)
         B, N, C = feats.shape
         if hit.ndim == 5:
             # x-triple map (sp.build_subm_map with GGA_SUBM_TRIPLE=1):
@@ -241,7 +250,12 @@ class SubMConv3dMapped(nn.Module):
 class SparseBasicBlock(nn.Module):
     """ResNet BasicBlock on sparse tensors
     (/root/reference/mmdet3d/ops/sparse_block.py:23): two SubM convs with
-    BN; residual add; ReLU after each (second after the add)."""
+    BN; residual add; ReLU after each (second after the add).
+
+    Accepts either row form (feats [B, N, C], valid [B, N], nmap/hit a
+    flat neighbor map) or tile form (feats [Tf, tz, ty, tx, C], valid
+    the cell mask, nmap/hit the tile neighbor map) — SubMConv3dMapped
+    and MaskedBatchNorm dispatch on rank, params are identical."""
     channels: int
 
     @nn.compact

@@ -49,6 +49,18 @@ class SparseEncoder(nn.Module):
     # for the memory that blocks B=16 (B=16 OOMs by 139 MB at B=8's
     # operating point, CLAUDE.md)
     remat_blocks: bool = False
+    # run these stages' residual blocks on the dense-tile engine
+    # (ops/tile_conv.py): per stage, actives are scattered once into
+    # dense tiles and the SubM convs become halo-exchange + one MXU
+    # conv — 27*N gather rows become 26*T tile-slab rows. Only pays
+    # where actives CLUSTER (stage 0 has ~1.1 actives/tile on real
+    # scenes — keep it on the row engine; stages 1-3 sit at 3-25,
+    # tools/tile_occupancy.py). tile_budgets is indexed by stage and
+    # must exceed the per-scene occupied-tile count or whole tiles
+    # drop (occupancy_tile_stage* diagnostics guard this).
+    tile_stages: Tuple[int, ...] = ()
+    tile_shape: Tuple[int, int, int] = (2, 4, 4)
+    tile_budgets: Tuple[int, ...] = (0, 7168, 3072, 1536)
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool = True):
@@ -65,12 +77,53 @@ class SparseEncoder(nn.Module):
                                  cc, vv, tuple(grid))
             return sp.build_subm_map(st)
 
+        from ..ops import tile_conv as tc
+
+        B = feats.shape[0]
+
+        def make_stage_maps(stage_idx, x, c, v, g):
+            """Neighbor structure for stage_idx's residual blocks; on a
+            tile stage also converts x rows -> tiles. Returns
+            (x, nmap, hit, blk_valid, tmf) where blk_valid is what the
+            blocks' BatchNorm masks on (rows' valid or the cell mask)."""
+            if stage_idx in self.tile_stages:
+                tile = tuple(self.tile_shape)
+                tb = int(self.tile_budgets[stage_idx])
+                tm = jax.vmap(lambda cc, vv: tc.build_tile_map(
+                    cc, vv, tuple(g), tile, tb))(c, v)
+                tmf = tc.flatten_tile_map(tm)
+                self.sow('diagnostics',
+                         f'occupancy_tile_stage{stage_idx}',
+                         tm.tvalid.sum(-1).astype(jnp.float32).mean()
+                         / tb)
+                xt = tc.rows_to_tiles(
+                    x.reshape(B * x.shape[1], x.shape[-1]), tmf)
+                return xt, tmf.tnmap, tmf.thit, tmf.cell_mask, tmf
+
+            def mk(cc, vv):
+                st = sp.SparseTensor(
+                    jnp.zeros((cc.shape[0], 1), jnp.float32),
+                    cc, vv, tuple(g))
+                return sp.build_subm_map(st)
+            nmap, hit = jax.vmap(mk)(c, v)
+            return x, nmap, hit, v, None
+
+        def to_rows(x, tmf, n):
+            if tmf is None:
+                return x
+            r = tc.tiles_to_rows(x, tmf.rank, tmf.slot, tmf.kept)
+            return r.reshape(B, n, r.shape[-1])
+
         # one neighbor map per active set, shared by every SubM conv on it
         nmap, hit = jax.vmap(make_map)(coords, valid)
         x = SubMConv3dMapped(self.base_channels)(feats, valid, nmap, hit)
         x = MaskedBatchNorm()(x, valid, train)
         x = nn.relu(x)
         c, v, g = coords, valid, grid
+        if 0 in self.tile_stages:
+            x, nmap, hit, blk_valid, tmf = make_stage_maps(0, x, c, v, g)
+        else:
+            blk_valid, tmf = v, None
 
         assert self.block_type in ('basicblock', 'conv_module')
         # grid and train are static python values (argnums count self=0).
@@ -98,6 +151,7 @@ class SparseEncoder(nn.Module):
                     is_down = (j == len(blocks) - 1) \
                         and (i != num_stages - 1)
                     if is_down:
+                        x = to_rows(x, tmf, c.shape[1])
                         x, c, v, g = SparseConvBlock(
                             out_ch, 'spconv', kernel_size=(3, 3, 3),
                             stride=(2, 2, 2), padding=pad3,
@@ -109,16 +163,11 @@ class SparseEncoder(nn.Module):
                         self.sow('diagnostics', f'occupancy_stage{i}',
                                  v.sum(-1).astype(jnp.float32).mean()
                                  / self.stage_budgets[i])
-
-                        def make_map_g(cc, vv, grid_now=g):
-                            st = sp.SparseTensor(
-                                jnp.zeros((cc.shape[0], 1), jnp.float32),
-                                cc, vv, tuple(grid_now))
-                            return sp.build_subm_map(st)
-
-                        nmap, hit = jax.vmap(make_map_g)(c, v)
+                        x, nmap, hit, blk_valid, tmf = make_stage_maps(
+                            i + 1, x, c, v, g)
                     else:
-                        x = Block(out_ch)(x, c, v, g, train, nmap, hit)
+                        x = Block(out_ch)(x, c, blk_valid, g, train,
+                                          nmap, hit)
                 else:  # conv_module (sparse_encoder.make_encoder_layers)
                     is_down = (i != 0 and j == 0)
                     if is_down:
@@ -130,8 +179,11 @@ class SparseEncoder(nn.Module):
                     else:
                         x, c, v, g = SparseConvBlock(out_ch, 'subm')(
                             x, c, v, g, train)
-            stages.append((x, c, v, g))
+            stages.append((to_rows(x, tmf, c.shape[1]), c, v, g)
+                          if self.return_stages else (x, c, v, g))
 
+        x = to_rows(x, tmf, c.shape[1])
+        tmf = None
         x, c, v, g = SparseConvBlock(
             self.output_channels, 'spconv', kernel_size=(3, 1, 1),
             stride=(2, 1, 1), padding=(0, 0, 0),

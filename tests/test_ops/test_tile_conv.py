@@ -134,3 +134,56 @@ def test_cross_scene_isolation():
     np.testing.assert_allclose(np.asarray(pert[1]), np.asarray(base[1]),
                                rtol=0, atol=0)
     assert not np.allclose(np.asarray(pert[0]), np.asarray(base[0]))
+
+
+def test_encoder_tile_stages_match_row_engine():
+    """SparseEncoder(tile_stages=(1,2,3)) == SparseEncoder(tile_stages=())
+    with the SAME params (fwd and input grads): the engine choice is a
+    pure implementation detail."""
+    from gga_tpu.models.middle_encoders import SparseEncoder
+
+    grid = (9, 32, 32)
+    B, N = 2, 220
+    rng = np.random.RandomState(5)
+    coords, valids = [], []
+    for b in range(B):
+        c, v = make_scene(b + 11, 200 - 30 * b, N, grid)
+        coords.append(c)
+        valids.append(v)
+    coords = jnp.stack(coords)
+    valids = jnp.stack(valids)
+    feats = jnp.where(valids[..., None],
+                      jnp.asarray(rng.randn(B, N, 4), jnp.float32), 0.0)
+
+    kw = dict(in_channels=4, sparse_shape=grid, base_channels=8,
+              output_channels=8,
+              encoder_channels=((8, 8), (8, 8), (8, 8), (8,)),
+              encoder_paddings=((0, 1), (0, 1), (0, (0, 1, 1)), (0,)),
+              stage_budgets=(N, N, N), out_budget=N)
+    row_enc = SparseEncoder(**kw)
+    tile_enc = SparseEncoder(**kw, tile_stages=(1, 2, 3),
+                             tile_shape=(2, 4, 4),
+                             tile_budgets=(0, 160, 96, 64))
+
+    vars_row = row_enc.init(jax.random.PRNGKey(0), feats, coords, valids,
+                            train=False)
+    # identical param tree => the row init is directly usable
+    vars_tile = tile_enc.init(jax.random.PRNGKey(0), feats, coords,
+                              valids, train=False)
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, vars_row['params'],
+        vars_tile['params']))
+
+    def run(enc, f):
+        out = enc.apply(vars_row, f, coords, valids, train=False)
+        return (out ** 2).sum(), out
+
+    (_, bev_row), df_row = jax.value_and_grad(
+        lambda f: run(row_enc, f), has_aux=True)(feats)
+    (_, bev_tile), df_tile = jax.value_and_grad(
+        lambda f: run(tile_enc, f), has_aux=True)(feats)
+
+    np.testing.assert_allclose(np.asarray(bev_tile), np.asarray(bev_row),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(df_tile), np.asarray(df_row),
+                               rtol=2e-3, atol=2e-4)
