@@ -1,0 +1,8 @@
+"""CenterPoint-pillar nuScenes (mirror of /root/reference/configs/
+centerpoint/centerpoint_02pillar_second_secfpn_4x8_cyclic_20e_nus.py)."""
+_base_ = [
+    '../_base_/models/centerpoint_02pillar_second_secfpn_nus.py',
+    '../_base_/datasets/nus-3d.py',
+    '../_base_/schedules/cyclic_20e.py',
+    '../_base_/default_runtime.py',
+]

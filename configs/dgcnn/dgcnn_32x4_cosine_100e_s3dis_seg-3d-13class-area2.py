@@ -1,0 +1,8 @@
+"""DGCNN S3DIS cross-validation fold: train on all areas but 2, test on
+Area 2 (reference dgcnn_32x4_cosine_100e_s3dis_seg-3d-13class-area2
+.py)."""
+_base_ = ['./dgcnn_32x4_cosine_100e_s3dis_seg-3d-13class.py']
+data = dict(
+    train_info='s3dis_infos_not_Area_2.pkl',
+    val_info='s3dis_infos_Area_2.pkl',
+)

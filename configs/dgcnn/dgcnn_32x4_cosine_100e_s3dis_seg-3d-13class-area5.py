@@ -1,0 +1,8 @@
+"""DGCNN S3DIS cross-validation fold: train on all areas but 5, test on
+Area 5 (reference dgcnn_32x4_cosine_100e_s3dis_seg-3d-13class-area5
+.py)."""
+_base_ = ['./dgcnn_32x4_cosine_100e_s3dis_seg-3d-13class.py']
+data = dict(
+    train_info='s3dis_infos_not_Area_5.pkl',
+    val_info='s3dis_infos_Area_5.pkl',
+)

@@ -1,0 +1,4 @@
+"""RegNet-400MF FPN Lyft at 100 m range (reference
+hv_pointpillars_regnet-400mf_fpn_sbn-all_range100_2x8_2x_lyft-3d.py)."""
+_base_ = ['./hv_pointpillars_regnet-400mf_secfpn_sbn-all_range100_2x8_2x_lyft-3d.py']
+model = dict(neck='fpn', neck_channels=[256, 256, 256])

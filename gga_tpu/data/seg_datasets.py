@@ -133,6 +133,42 @@ class S3DISSegDataset(_BaseSegDataset):
             np.int64)
 
 
+SCANNET_SEG_CLASSES = (
+    'wall', 'floor', 'cabinet', 'bed', 'chair', 'sofa', 'table', 'door',
+    'window', 'bookshelf', 'picture', 'counter', 'desk', 'curtain',
+    'refrigerator', 'showercurtrain', 'toilet', 'sink', 'bathtub',
+    'otherfurniture')
+
+# nyu40 ids kept by the ScanNet benchmark (scannet_dataset.py
+# VALID_CLASS_IDS); all other raw ids map to ignore = 20
+SCANNET_VALID_CLASS_IDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14,
+                           16, 24, 28, 33, 34, 36, 39)
+
+
+class ScanNetSegDataset(_BaseSegDataset):
+    """ScanNet 20-class semantic segmentation
+    (/root/reference/mmdet3d/datasets/scannet_dataset.py ScanNetSegDataset):
+    xyzrgb points, nyu40-id masks remapped to 0..19 train ids with the
+    benchmark's VALID_CLASS_IDS; unmapped ids -> ignore_index 20."""
+    CLASSES = SCANNET_SEG_CLASSES
+
+    def __init__(self, root, info_path, *, num_points=8192,
+                 test_mode=False, seed=0, use_color=True):
+        super().__init__(root, info_path, num_points=num_points,
+                         load_dim=6, use_color=use_color,
+                         test_mode=test_mode, seed=seed)
+        lut = np.full(41, len(self.CLASSES), np.int64)
+        for ti, nyu in enumerate(SCANNET_VALID_CLASS_IDS):
+            lut[nyu] = ti
+        self._lut = lut
+
+    def _load_mask(self, info):
+        raw = np.fromfile(
+            os.path.join(self.root, info['pts_semantic_mask_path']),
+            np.int64)
+        return self._lut[np.clip(raw, 0, 40)]
+
+
 class SemanticKITTIDataset(_BaseSegDataset):
     """KITTI odometry velodyne scans + .label semantic masks; raw ids
     remapped by the semantic-kitti learning map (0 -> ignore)."""

@@ -20,7 +20,9 @@ from ..config import MODELS
 from .dense_heads.centerpoint_head_gga import GGAHeadConfig
 from .detectors.centerpoint import CenterPointConfig, CenterPointDetector
 from .detectors.centerpoint_gga import GGADetector, GGAModelConfig
-from .detectors.dynamic_voxelnet import (DynamicVoxelNet,
+from .detectors.dynamic_voxelnet import (DVSECONDConfig,
+                                         DVSECONDDetector,
+                                         DynamicVoxelNet,
                                          DynamicVoxelNetConfig)
 from .detectors.fcaf3d import FCAF3DDetector, FCAF3DModelConfig
 from .detectors.groupfree3d import GroupFree3DNet, GroupFree3DNetConfig
@@ -105,6 +107,7 @@ _register_family('FreeAnchorPointPillars', FreeAnchorPointPillarsConfig,
                  PointPillars)
 _register_family('SSNDetector', SSNConfig, SSNDetector)
 _register_family('SECONDDetector', SECONDNetConfig, SECONDDetector)
+_register_family('DVSECONDDetector', DVSECONDConfig, DVSECONDDetector)
 _register_family('DynamicVoxelNet', DynamicVoxelNetConfig, DynamicVoxelNet)
 _register_family('SASSD', SASSDConfig, SASSD)
 _register_family('MVXNet', MVXNetConfig, MVXNet)

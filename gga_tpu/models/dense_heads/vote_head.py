@@ -60,6 +60,10 @@ class VoteHeadConfig:
     size_class_weight: float = 1.0
     size_res_weight: float = 10.0 / 3.0
     semantic_weight: float = 1.0
+    # optional axis-aligned IoU loss on positive proposals vs their
+    # assigned GT box (votenet_iouloss_8x8_scannet config:
+    # AxisAlignedIoULoss weight 10/3)
+    iou_loss_weight: float = 0.0
     # test cfg
     nms_thr: float = 0.25
     score_thr: float = 0.05
@@ -271,6 +275,27 @@ def loss(cfg: VoteHeadConfig, preds, targets):
                 dir_res_loss=dir_res_loss,
                 size_class_loss=size_class_loss,
                 size_res_loss=size_res_loss, semantic_loss=sem_loss)
+    if cfg.iou_loss_weight:
+        # axis-aligned IoU vs the nearest-center assigned GT; sizes
+        # decoded with the TARGET size class (same one-hot as the
+        # residual loss) — a documented delta from the reference's
+        # decode-then-IoU, equivalent at the positives it supervises
+        from ..losses import axis_aligned_iou_loss
+        mean = jnp.asarray(cfg.mean_sizes, jnp.float32)      # [S, 3]
+        pred_size = jnp.einsum('bps,sc->bpc', one_hot_size, mean) \
+            * (1.0 + size_res_pred)
+        tgt_size = jnp.einsum('bps,sc->bpc', one_hot_size, mean) \
+            * (1.0 + t['size_res_t'])
+        assign = jnp.argmin(d_pc, -1)                        # [B, P]
+        tgt_center = jnp.take_along_axis(
+            t['center_targets'], assign[..., None], 1)
+        def aabb(cc, ss):
+            return jnp.concatenate([cc - ss / 2, cc + ss / 2], -1)
+        il = axis_aligned_iou_loss(
+            aabb(preds['center'], jnp.maximum(pred_size, 1e-4)),
+            aabb(tgt_center, jnp.maximum(tgt_size, 1e-4)))
+        logs['iou_loss'] = (il * pos * om).sum() / n_pos \
+            * cfg.iou_loss_weight
     total = sum(logs.values())
     logs['loss'] = total
     logs['num_pos'] = (pos * om).sum()

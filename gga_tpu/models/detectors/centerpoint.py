@@ -61,6 +61,17 @@ class CenterPointConfig:
     score_threshold: float = 0.1
     nms_thr: float = 0.2
     post_max_size: int = 500
+    # 'rotated' (nms_bev) or 'circle' — the circlenms config family
+    # (test_cfg nms_type='circle', min_radius per task, reference
+    # centerpoint_..._circlenms_*.py)
+    nms_type: str = 'rotated'
+    nms_min_radius: Tuple[float, ...] = (4, 12, 10, 1, 0.85, 0.175)
+    # pillar variant (02pillar configs): PillarFeatureNet +
+    # PointPillarsScatter replace VFE + SparseEncoder
+    # (reference centerpoint_02pillar_second_secfpn_nus.py)
+    pillar: bool = False
+    pfn_channels: Tuple[int, ...] = (64,)
+    scatter_shape: Tuple[int, int] = (512, 512)
 
     @classmethod
     def tiny(cls):
@@ -96,19 +107,33 @@ class CenterPointDetector(nn.Module):
 
         voxels, coords, num_points, num_voxels = jax.vmap(vox)(
             points, points_valid)
-        feats = HardSimpleVFE()(voxels, num_points)
         vvalid = jnp.arange(c.max_voxels)[None] < num_voxels[:, None]
-        bev = SparseEncoder(
-            in_channels=feats.shape[-1],
-            sparse_shape=tuple(c.sparse_shape),
-            base_channels=c.encoder_channels[0][0],
-            output_channels=c.encoder_out_channels,
-            encoder_channels=tuple(tuple(b) for b in c.encoder_channels),
-            encoder_paddings=tuple(tuple(p) if isinstance(p, (tuple, list))
-                                   else p for p in c.encoder_paddings),
-            stage_budgets=tuple(c.encoder_budgets),
-            out_budget=c.encoder_out_budget,
-            block_type='conv_module')(feats, coords, vvalid, train)
+        if c.pillar:
+            from ..middle_encoders import PointPillarsScatter
+            from ..voxel_encoders import PillarFeatureNet
+            feats = PillarFeatureNet(
+                feat_channels=tuple(c.pfn_channels),
+                voxel_size=tuple(c.voxel_size),
+                point_cloud_range=tuple(c.point_cloud_range))(
+                    voxels, num_points, coords, train)
+            feats = jnp.where(vvalid[..., None], feats, 0.0)
+            bev = PointPillarsScatter(tuple(c.scatter_shape))(
+                feats, coords, vvalid)
+        else:
+            feats = HardSimpleVFE()(voxels, num_points)
+            bev = SparseEncoder(
+                in_channels=feats.shape[-1],
+                sparse_shape=tuple(c.sparse_shape),
+                base_channels=c.encoder_channels[0][0],
+                output_channels=c.encoder_out_channels,
+                encoder_channels=tuple(tuple(b)
+                                       for b in c.encoder_channels),
+                encoder_paddings=tuple(
+                    tuple(p) if isinstance(p, (tuple, list)) else p
+                    for p in c.encoder_paddings),
+                stage_budgets=tuple(c.encoder_budgets),
+                out_budget=c.encoder_out_budget,
+                block_type='conv_module')(feats, coords, vvalid, train)
         xs = SECOND(in_channels=bev.shape[-1],
                     out_channels=tuple(c.backbone_channels),
                     layer_nums=tuple(c.backbone_layers),
@@ -145,7 +170,7 @@ def centerpoint_loss(cfg: CenterPointConfig, preds, gt_boxes, gt_labels,
 
 def decode_centerpoint(cfg: CenterPointConfig, preds):
     dets = []
-    for tp in preds:
+    for ti, tp in enumerate(preds):
         d = cp.decode_task(
             tp, voxel_size=cfg.voxel_size[:2],
             pc_range=cfg.point_cloud_range,
@@ -153,7 +178,25 @@ def decode_centerpoint(cfg: CenterPointConfig, preds):
             max_num=cfg.max_per_task,
             score_threshold=cfg.score_threshold,
             post_center_range=cfg.point_cloud_range)
-        dets.append(cp.get_task_detections(
-            d, nms_thr=cfg.nms_thr,
-            post_max_size=min(cfg.post_max_size, cfg.max_per_task)))
+        k = min(cfg.post_max_size, cfg.max_per_task)
+        if cfg.nms_type == 'circle':
+            # circlenms configs: center-distance NMS with a per-task
+            # radius (reference test_cfg min_radius, box3d_nms.py:182)
+            from ...core.nms import circle_nms
+            radius = cfg.nms_min_radius[
+                min(ti, len(cfg.nms_min_radius) - 1)]
+
+            def one(boxes, scores, labels, valid, radius=radius):
+                idx, _ = circle_nms(boxes[:, :2], scores, radius,
+                                    post_max_size=k, valid=valid)
+                safe = jnp.maximum(idx, 0)
+                return dict(boxes=boxes[safe],
+                            scores=jnp.where(idx >= 0, scores[safe], 0.0),
+                            labels=labels[safe], valid=idx >= 0)
+
+            dets.append(jax.vmap(one)(d['boxes'], d['scores'],
+                                      d['labels'], d['valid']))
+        else:
+            dets.append(cp.get_task_detections(
+                d, nms_thr=cfg.nms_thr, post_max_size=k))
     return cp.merge_task_detections(dets, cfg.tasks)

@@ -49,6 +49,10 @@ class PointPillarsConfig:
     # single-level-anchor equivalent of the reference's per-level FPN
     # heads, a documented delta of this static-shape rebuild)
     neck: str = 'secfpn'
+    # 'bfloat16' runs the dense stack in bf16 (params/losses stay f32) —
+    # the TPU equivalent of the reference's fp16 configs
+    # (hv_pointpillars_*_fp16_*.py)
+    compute_dtype: str = 'float32'
     head: Anchor3DConfig = dataclasses.field(default_factory=Anchor3DConfig)
 
     @classmethod
@@ -103,7 +107,7 @@ class PointPillars(nn.Module):
         vvalid = jnp.arange(c.max_voxels)[None] < num_voxels[:, None]
         feats = jnp.where(vvalid[..., None], feats, 0.0)
         canvas = PointPillarsScatter(tuple(c.scatter_shape))(
-            feats, coords, vvalid)
+            feats, coords, vvalid).astype(jnp.dtype(c.compute_dtype))
         if c.backbone == 'second':
             xs = SECOND(in_channels=canvas.shape[-1],
                         out_channels=tuple(c.backbone_channels),
@@ -149,6 +153,8 @@ class SECONDNetConfig:
     backbone_strides: Tuple[int, ...] = (1, 2)
     neck_channels: Tuple[int, ...] = (256, 256)
     neck_strides: Tuple[int, ...] = (1, 2)
+    # 'bfloat16' = the reference's fp16 configs (hv_second_secfpn_fp16_*)
+    compute_dtype: str = 'float32'
     head: Anchor3DConfig = dataclasses.field(
         default_factory=lambda: Anchor3DConfig(
             anchor_ranges=((0, -40, -0.6, 70.4, 40, -0.6),
@@ -175,6 +181,7 @@ class SECONDDetector(nn.Module):
         voxels, coords, num_points, num_voxels = jax.vmap(vox)(
             points, points_valid)
         feats = HardSimpleVFE()(voxels, num_points)
+        feats = feats.astype(jnp.dtype(c.compute_dtype))
         vvalid = jnp.arange(c.max_voxels)[None] < num_voxels[:, None]
         bev = SparseEncoder(
             in_channels=feats.shape[-1],

@@ -33,6 +33,18 @@ class EncoderDecoder3DConfig:
         (256, 256), (256, 256), (256, 128), (128, 128, 128))
     head_channels: int = 128
     dropout_ratio: float = 0.5
+    # multi-scale-grouping encoder (pointnet2_msg configs): per-level
+    # radius/sample/channel tuples replace the SSG scalars
+    # (/root/reference/configs/_base_/models/pointnet2_msg.py)
+    msg: bool = False
+    msg_radii: Sequence = (
+        (0.05, 0.1), (0.1, 0.2), (0.2, 0.4), (0.4, 0.8))
+    msg_num_samples: Sequence = ((16, 32), (16, 32), (16, 32), (16, 32))
+    msg_sa_channels: Sequence = (
+        ((16, 16, 32), (32, 32, 64)),
+        ((64, 64, 128), (64, 96, 128)),
+        ((128, 196, 256), (128, 196, 256)),
+        ((256, 256, 512), (256, 384, 512)))
 
     @classmethod
     def tiny(cls, num_classes=6):
@@ -55,12 +67,24 @@ class EncoderDecoder3D(nn.Module):
         Returns per-point class logits [B, P, num_classes].
         """
         c = self.cfg
-        feat = PointNet2SASSG(
-            in_channels=c.in_channels,
-            num_points=tuple(c.num_points), radii=tuple(c.radii),
-            num_samples=tuple(c.num_samples),
-            sa_channels=tuple(tuple(x) for x in c.sa_channels),
-            fp_channels=())(points, valid, train)
+        if c.msg:
+            from ..backbones.pointnet2 import PointNet2SAMSG
+            feat = PointNet2SAMSG(
+                in_channels=c.in_channels,
+                num_points=tuple(c.num_points),
+                radii=tuple(tuple(r) for r in c.msg_radii),
+                num_samples=tuple(tuple(s) for s in c.msg_num_samples),
+                sa_channels=tuple(tuple(tuple(m) for m in lvl)
+                                  for lvl in c.msg_sa_channels),
+                aggregation_channels=(0,) * len(c.num_points))(
+                    points, valid, train)
+        else:
+            feat = PointNet2SASSG(
+                in_channels=c.in_channels,
+                num_points=tuple(c.num_points), radii=tuple(c.radii),
+                num_samples=tuple(c.num_samples),
+                sa_channels=tuple(tuple(x) for x in c.sa_channels),
+                fp_channels=())(points, valid, train)
         return PointNet2SegHead(
             num_classes=c.num_classes,
             fp_channels=tuple(tuple(x) for x in c.fp_channels),

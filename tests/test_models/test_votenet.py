@@ -82,3 +82,25 @@ def test_decode(vn_setup):
     assert dets['boxes'].shape == (2, cfg.head.max_out, 7)
     assert np.isfinite(np.asarray(dets['boxes'])).all()
     assert (np.asarray(dets['boxes'])[..., 3:6] > 0).all()
+
+
+def test_iou_loss_variant(vn_setup):
+    """iou_loss_weight adds a finite, grad-carrying term
+    (votenet_iouloss_8x8_scannet config)."""
+    import dataclasses
+
+    cfg, model, variables, inputs = vn_setup
+    head = dataclasses.replace(cfg.head, iou_loss_weight=10.0 / 3.0)
+    gt, labels, ovalid = _gt(cfg)
+    preds = model.apply(variables, *inputs, train=False)
+    targets = jax.vmap(lambda p, pv, ax, av, b, l, v: vh.build_targets(
+        head, p, pv, ax, av, b, l, v))(
+        preds['seed_xyz'], preds['seed_valid'], preds['agg_xyz'],
+        preds['agg_valid'], gt, labels, ovalid)
+    total, logs = vh.loss(head, preds, targets)
+    assert 'iou_loss' in logs and np.isfinite(float(logs['iou_loss']))
+    assert float(logs['iou_loss']) > 0
+    base, _ = vh.loss(cfg.head, preds, targets)
+    np.testing.assert_allclose(float(total),
+                               float(base) + float(logs['iou_loss']),
+                               rtol=1e-5)
