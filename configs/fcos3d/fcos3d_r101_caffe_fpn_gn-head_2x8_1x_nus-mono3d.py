@@ -10,7 +10,7 @@ nus 10-class monocular setup. DCN in the head is replaced by plain
 convs (DCN's gather-heavy sampling does not map to the MXU; capacity
 matched via the same channel widths)."""
 _base_ = [
-    '../_base_/datasets/kitti-mono3d.py',
+    '../_base_/datasets/nus-mono3d.py',
     '../_base_/schedules/schedule_3x.py',
     '../_base_/default_runtime.py',
 ]
@@ -27,6 +27,9 @@ model = dict(
         regress_ranges=[[-1, 48], [48, 96], [96, 192], [192, 384],
                         [384, 1e8]],
         group_reg_dims=[2, 1, 3, 1, 2],
+        pred_velo=True,
+        pred_keypoints=False,
+        pred_bbox2d=False,
         reg_branch=[[256], [256], [256], [256], [256]],
         code_weight=[1.0, 1.0, 0.2, 1.0, 1.0, 1.0, 1.0, 0.05, 0.05],
         base_depths=[[28.01, 16.32]],

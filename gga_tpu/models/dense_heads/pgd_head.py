@@ -70,6 +70,13 @@ class PGDConfig:
     focal_alpha: float = 0.25
     depth_loss_alpha: float = 1.0   # UncertainSmoothL1 alpha
     depth_loss_beta: float = 3.0    # UncertainSmoothL1 beta
+    # optional regression groups AFTER (offset, depth, size, rot), in
+    # the reference's group_reg_dims order: velocity (2, nuScenes
+    # code_size 9), projected-corner keypoints (16, PGD), 2D box ltrb
+    # (4). group_reg_dims must sum consistently with these flags.
+    pred_velo: bool = False
+    pred_keypoints: bool = True
+    pred_bbox2d: bool = True
     pos_budget: int = 1024
     # test cfg (gga_pdg.py:63)
     nms_pre: int = 100
@@ -78,12 +85,27 @@ class PGDConfig:
     max_per_img: int = 20
 
     @property
-    def kpts_start(self):
+    def velo_start(self):
         return 7
 
     @property
+    def kpts_start(self):
+        return 7 + (2 if self.pred_velo else 0)
+
+    @property
+    def bbox2d_start(self):
+        return self.kpts_start + (16 if self.pred_keypoints else 0)
+
+    @property
     def reg_dims_total(self):
-        return sum(self.group_reg_dims)
+        total = sum(self.group_reg_dims)
+        want = (7 + (2 if self.pred_velo else 0)
+                + (16 if self.pred_keypoints else 0)
+                + (4 if self.pred_bbox2d else 0))
+        assert total == want, (
+            f'group_reg_dims sums to {total} but pred_velo/keypoints/'
+            f'bbox2d flags imply {want}')
+        return total
 
 
 class _Branch(nn.Module):
@@ -167,10 +189,19 @@ class PGDHead(nn.Module):
             priors = jnp.asarray(c.base_dims, jnp.float32)[cls_ind]
             size = size * priors
             rot = bbox_pred[..., 6:7]
-            kpts = jnp.tanh(bbox_pred[..., 7:23] * scales[3])
-            bbox2d = jax.nn.relu(bbox_pred[..., 23:27] * scales[4])
-            decoded = jnp.concatenate(
-                [off, depth_direct, size, rot, kpts, bbox2d], axis=-1)
+            parts = [off, depth_direct, size, rot]
+            i = 7
+            if c.pred_velo:
+                parts.append(bbox_pred[..., i:i + 2])   # no scale (ref)
+                i += 2
+            if c.pred_keypoints:
+                parts.append(jnp.tanh(bbox_pred[..., i:i + 16]
+                                      * scales[3]))
+                i += 16
+            if c.pred_bbox2d:
+                parts.append(jax.nn.relu(bbox_pred[..., i:i + 4]
+                                         * scales[4]))
+            decoded = jnp.concatenate(parts, axis=-1)
 
             outs.append(dict(cls_score=cls_score, bbox_pred=decoded,
                              dir_pred=dir_pred, depth_cls=depth_cls,
@@ -391,8 +422,11 @@ def loss(cfg: PGDConfig, preds, fuse_lambda, targets_per_image, cam2img,
     # NOTE: target layout is 11-dim [dx, dy, depth, dims3, yaw, ltrb4]
     # (pgd get_targets appends the 2D ltrb at the END of the code_size-7
     # vector) while predictions carry 27 channels incl. keypoints.
+    b0 = cfg.bbox2d_start
+    k0 = cfg.kpts_start
     sp = bbox_preds.at[..., :2].multiply(strides_flat[None, :, None])
-    sp = sp.at[..., 23:27].multiply(strides_flat[None, :, None])
+    if cfg.pred_bbox2d:
+        sp = sp.at[..., b0:b0 + 4].multiply(strides_flat[None, :, None])
     st = bt.at[..., :2].multiply(strides_flat[None, :, None])
     st = st.at[..., 7:11].multiply(strides_flat[None, :, None])
 
@@ -437,26 +471,42 @@ def loss(cfg: PGDConfig, preds, fuse_lambda, targets_per_image, cam2img,
     pix_p = jax.vmap(lambda c, m: _project(c, m))(corners_p, cam2img)
     pix_t = jax.vmap(lambda c, m: _project(c, m))(corners_t, cam2img)
 
-    # keypoint targets: projected GT corners normalized by regress range
-    norm_strides = strides_flat * cfg.regress_ranges[0][1] / cfg.strides[0]
-    kpts_t = ((pix_t - points_flat[None, :, None, :])
-              .reshape(B, Np, 16) / norm_strides[None, :, None])
-    logs['loss_kpts'] = sl1(bbox_preds[..., 7:23], kpts_t, w[..., 7:23])
+    if cfg.pred_velo:
+        # velocity smooth-L1 (nuScenes code_size 9); datasets without
+        # velocity labels supply zero targets
+        velo_t = targets_per_image.get(
+            'velo_targets', jnp.zeros_like(bbox_preds[..., 7:9]))
+        logs['loss_velo'] = sl1(bbox_preds[..., 7:9], velo_t,
+                                w[..., 7:9])
 
-    # bbox2d loss
-    logs['loss_bbox2d'] = sl1(bbox_preds[..., 23:27], bt[..., 7:11],
-                              w[..., 23:27])
+    if cfg.pred_keypoints:
+        # keypoint targets: projected GT corners normalized by
+        # regress range
+        norm_strides = (strides_flat * cfg.regress_ranges[0][1]
+                        / cfg.strides[0])
+        kpts_t = ((pix_t - points_flat[None, :, None, :])
+                  .reshape(B, Np, 16) / norm_strides[None, :, None])
+        logs['loss_kpts'] = sl1(bbox_preds[..., k0:k0 + 16], kpts_t,
+                                w[..., k0:k0 + 16])
 
-    # consistency (GIoU between projected-3D box and predicted 2D box)
-    proj2d = jnp.concatenate([pix_p.min(axis=2), pix_p.max(axis=2)], -1)
-    l, t_, r, b_ = (sp[..., 23], sp[..., 24], sp[..., 25], sp[..., 26])
-    pred2d = jnp.stack([points_flat[None, :, 0] - l,
-                        points_flat[None, :, 1] - t_,
-                        points_flat[None, :, 0] + r,
-                        points_flat[None, :, 1] + b_], -1)
-    giou = _giou(proj2d, pred2d)
-    logs['loss_consistency'] = ((1 - giou)
-                                * w[..., 23:27].mean(-1)).sum() / avg
+    if cfg.pred_bbox2d:
+        logs['loss_bbox2d'] = sl1(bbox_preds[..., b0:b0 + 4],
+                                  bt[..., 7:11], w[..., b0:b0 + 4])
+
+        # consistency (GIoU between projected-3D box and predicted
+        # 2D box)
+        proj2d = jnp.concatenate([pix_p.min(axis=2), pix_p.max(axis=2)],
+                                 -1)
+        l, t_, r, b_ = (sp[..., b0], sp[..., b0 + 1], sp[..., b0 + 2],
+                        sp[..., b0 + 3])
+        pred2d = jnp.stack([points_flat[None, :, 0] - l,
+                            points_flat[None, :, 1] - t_,
+                            points_flat[None, :, 0] + r,
+                            points_flat[None, :, 1] + b_], -1)
+        giou = _giou(proj2d, pred2d)
+        logs['loss_consistency'] = ((1 - giou)
+                                    * w[..., b0:b0 + 4].mean(-1)).sum() \
+            / avg
 
     # centerness BCE (mean over positives)
     bce = -(ct * jax.nn.log_sigmoid(centerness)
@@ -513,11 +563,16 @@ def decode(cfg: PGDConfig, preds, fuse_lambda, cam2img, featmap_sizes):
     centerness = jax.nn.sigmoid(flat('centerness', 1)[..., 0])
 
     # test-time denorm: offsets & bbox2d were left stride-normalized
+    k0 = cfg.kpts_start
+    b0 = cfg.bbox2d_start
     bbox = bbox.at[..., :2].multiply(strides_flat[None, :, None])
-    bbox = bbox.at[..., 23:27].multiply(strides_flat[None, :, None])
-    max_rr = (strides_flat * cfg.regress_ranges[0][1]
-              / cfg.strides[0])
-    bbox = bbox.at[..., 7:23].multiply(max_rr[None, :, None])
+    if cfg.pred_bbox2d:
+        bbox = bbox.at[..., b0:b0 + 4].multiply(
+            strides_flat[None, :, None])
+    if cfg.pred_keypoints:
+        max_rr = (strides_flat * cfg.regress_ranges[0][1]
+                  / cfg.strides[0])
+        bbox = bbox.at[..., k0:k0 + 16].multiply(max_rr[None, :, None])
 
     depth_conf = jax.nn.softmax(depth_cls, -1).max(-1)
     depth_unc = jnp.exp(-weight[..., -1])
@@ -554,12 +609,15 @@ def decode(cfg: PGDConfig, preds, fuse_lambda, cam2img, featmap_sizes):
 
     boxes_k = gather(boxes_cam)
     merged_k = gather(merged)
-    bbox2d_l = points_flat[None, :, 0] - bbox[..., 23]
-    bbox2d_t = points_flat[None, :, 1] - bbox[..., 24]
-    bbox2d_r = points_flat[None, :, 0] + bbox[..., 25]
-    bbox2d_b = points_flat[None, :, 1] + bbox[..., 26]
-    bboxes2d = gather(jnp.stack(
-        [bbox2d_l, bbox2d_t, bbox2d_r, bbox2d_b], -1))
+    if cfg.pred_bbox2d:
+        bbox2d_l = points_flat[None, :, 0] - bbox[..., b0]
+        bbox2d_t = points_flat[None, :, 1] - bbox[..., b0 + 1]
+        bbox2d_r = points_flat[None, :, 0] + bbox[..., b0 + 2]
+        bbox2d_b = points_flat[None, :, 1] + bbox[..., b0 + 3]
+        bboxes2d = gather(jnp.stack(
+            [bbox2d_l, bbox2d_t, bbox2d_r, bbox2d_b], -1))
+    else:
+        bboxes2d = jnp.zeros(boxes_k.shape[:2] + (4,), boxes_k.dtype)
 
     # per-class rotated NMS in the camera x-z plane
     outs = []

@@ -278,12 +278,26 @@ def _tsc_bwd(res, dout):
     # tile conv mask them); their cotangents are never consumed — zero
     # them so tile-form chains stay exact
     din = jnp.where(cell_mask[..., None], din, 0)
-    # dW via XLA's native filter-gradient conv on the recomputed halo
-    # (CSEs with the forward's assemble in the same program)
+    # dW from 27 shifted views of the recomputed halo (the assemble CSEs
+    # with the forward's in the same program): dW[k] = view_k^T @ dm,
+    # one MXU GEMM per offset with f32 accumulation. An explicit form is
+    # used instead of jax.vjp over _dense_conv because the conv
+    # transpose rejects the bf16-operand/f32-cotangent mix the
+    # preferred_element_type=f32 primal produces.
     halo_f = _assemble_halo(tiles, tnmap, thit, tile)
-    _, vjp_w = jax.vjp(
-        lambda w: _dense_conv(halo_f, w, jnp.float32), weights)
-    (dw,) = vjp_w(dm.astype(jnp.float32))
+    tz, ty, tx = tile
+    C = tiles.shape[-1]
+    D = dm.shape[-1]
+    dmf = dm.reshape(-1, D)
+    dws = []
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                view = halo_f[:, a:a + tz, b:b + ty, c:c + tx, :]
+                dws.append(jax.lax.dot_general(
+                    view.reshape(-1, C), dmf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws)                                   # [27, C, D]
     return din, None, None, None, dw.astype(weights.dtype)
 
 
