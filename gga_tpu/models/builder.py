@@ -28,7 +28,9 @@ from .detectors.fcaf3d import FCAF3DDetector, FCAF3DModelConfig
 from .detectors.groupfree3d import GroupFree3DNet, GroupFree3DNetConfig
 from .detectors.h3dnet import H3DNet, H3DNetConfig
 from .detectors.imvotenet import ImVoteNet, ImVoteNetConfig
-from .detectors.imvoxelnet import ImVoxelNet, ImVoxelNetConfig
+from .detectors.imvoxelnet import (ImVoxelNet, ImVoxelNetConfig,
+                                   ImVoxelNetIndoor,
+                                   ImVoxelNetIndoorConfig)
 from .detectors.monoflex import MonoFlexDetector, MonoFlexModelConfig
 from .detectors.mvxnet import MVXNet, MVXNetConfig
 from .detectors.parta2 import PartA2Config, PartA2Detector
@@ -112,6 +114,8 @@ _register_family('DynamicVoxelNet', DynamicVoxelNetConfig, DynamicVoxelNet)
 _register_family('SASSD', SASSDConfig, SASSD)
 _register_family('MVXNet', MVXNetConfig, MVXNet)
 _register_family('ImVoxelNet', ImVoxelNetConfig, ImVoxelNet)
+_register_family('ImVoxelNetIndoor', ImVoxelNetIndoorConfig,
+                 ImVoxelNetIndoor)
 _register_family('SMOKEDetector', SMOKEModelConfig, SMOKEDetector)
 _register_family('PGDDetector', PGDModelConfig, PGDDetector)
 _register_family('VoteNet', VoteNetConfig, VoteNet)

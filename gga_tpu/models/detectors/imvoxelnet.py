@@ -89,3 +89,93 @@ class ImVoxelNet(nn.Module):
         volume = jax.vmap(lift)(feat0, lidar2img)  # [B, Nx, Ny, Nz, C]
         bev = OutdoorImVoxelNeck(out_channels=c.neck3d_out)(volume, train)
         return Anchor3DHead(c.head)(bev, train)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImVoxelNetIndoorConfig:
+    """Indoor (SUN-RGBD) ImVoxelNet
+    (configs/imvoxelnet/imvoxelnet_4x2_sunrgbd-3d-10class.py):
+    40x40x16 voxels over a [-3.2, 6.2] m frustum, IndoorImVoxelNeck,
+    per-voxel ImVoxelHead instead of the BEV anchor head."""
+    n_voxels: Tuple[int, int, int] = (40, 40, 16)        # (x, y, z)
+    prior_range: Tuple[float, ...] = (-3.2, -0.2, -2.28, 3.2, 6.2, 0.28)
+    img_depth: int = 50
+    img_base_planes: int = 64
+    fpn_channels: int = 256
+    neck3d_channels: int = 128
+    neck3d_blocks: Tuple[int, ...] = (1, 1, 1)
+    head: 'ImVoxelHeadConfig' = None
+
+    def __post_init__(self):
+        if self.head is None:
+            from ..dense_heads.imvoxel_head import ImVoxelHeadConfig
+            object.__setattr__(
+                self, 'head',
+                ImVoxelHeadConfig(prior_range=tuple(self.prior_range)))
+
+    @classmethod
+    def tiny(cls):
+        from ..dense_heads.imvoxel_head import ImVoxelHeadConfig
+        return cls(n_voxels=(16, 16, 8), img_depth=18,
+                   img_base_planes=8, fpn_channels=16,
+                   neck3d_channels=16,
+                   head=ImVoxelHeadConfig(
+                       n_classes=4, n_channels=16, nms_pre=32,
+                       max_out=8,
+                       prior_range=(-3.2, -0.2, -2.28, 3.2, 6.2, 0.28)))
+
+
+class ImVoxelNetIndoor(nn.Module):
+    """Indoor ImVoxelNet: lift level-0 FPN features into the voxel
+    volume, IndoorImVoxelNeck 3-level pyramid, ImVoxelHead.
+
+    Returns (head_outs, valids): valids are per-level projection
+    validity masks (the reference's valid_preds, trilinear-upsampled in
+    imvoxel_head._upsample_valid_preds — here computed exactly per
+    level from the voxel centers)."""
+    cfg: ImVoxelNetIndoorConfig
+
+    @nn.compact
+    def __call__(self, img, lidar2img, train: bool = True):
+        from ..dense_heads.imvoxel_head import ImVoxelHead, level_points
+        from ..fusion_layers.point_fusion import project_to_image
+        from ..necks.imvoxel_neck import IndoorImVoxelNeck
+        c = self.cfg
+        nx, ny, nz = c.n_voxels
+        img_shape = img.shape[1:3]
+
+        stages = ResNet(depth=c.img_depth,
+                        base_planes=c.img_base_planes)(img, train)
+        feats = FPN(out_channels=c.fpn_channels, num_outs=4)(stages,
+                                                             train)
+        feat0 = feats[0]
+
+        centers = level_points(c.head, [(nx, ny, nz)])[0]  # [N, 3]
+
+        def lift(f, l2i):
+            v = point_sample(f, centers, l2i, img_shape,
+                             jnp.ones(centers.shape[0], bool))
+            return v.reshape(nx, ny, nz, -1)
+
+        volume = jax.vmap(lift)(feat0, lidar2img)
+
+        neck = IndoorImVoxelNeck(out_channels=c.neck3d_channels,
+                                 n_blocks=tuple(c.neck3d_blocks))
+        volumes = neck(volume, train)
+        preds = ImVoxelHead(c.head)(volumes, train)
+
+        # per-level projection validity from each level's own centers
+        H, W = img_shape
+        valids = []
+        for lvl, vol in enumerate(volumes):
+            lx, ly, lz = vol.shape[1:4]
+            pts = level_points(c.head, [(lx, ly, lz)])[0]
+
+            def vmask(l2i):
+                uv, depth = project_to_image(pts, l2i)
+                ok = (depth > 1e-3) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+                    & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+                return ok.reshape(lx, ly, lz)
+
+            valids.append(jax.vmap(vmask)(lidar2img))
+        return preds, valids
