@@ -107,10 +107,14 @@ def decode_task(preds, *, voxel_size, pc_range, out_size_factor, max_num=100,
         boxes [B, K, 7] (x, y, z_gravity, dx, dy, dz, yaw), scores [B, K],
         labels [B, K], valid [B, K].
     """
-    heat = jax.nn.sigmoid(preds['heatmap'])       # [B, H, W, C]
-    B, H, W, C = heat.shape
-    flat = heat.reshape(B, H * W * C)
-    scores, inds = jax.lax.top_k(flat, max_num)   # over all cls+locations
+    # top-k over LOGITS, not sigmoids: sigmoid is monotone so the order
+    # is identical, but f32 sigmoid saturates to exactly 1.0 above ~17
+    # and top_k then tie-breaks positionally — on confident (weak-train)
+    # heatmaps that made the ranking degenerate (ACCURACY.md)
+    B, H, W, C = preds['heatmap'].shape
+    flat = preds['heatmap'].reshape(B, H * W * C)
+    logits, inds = jax.lax.top_k(flat, max_num)   # over all cls+locations
+    scores = jax.nn.sigmoid(logits)
     labels = inds % C
     loc = inds // C
     ys = (loc // W).astype(jnp.float32)
@@ -137,7 +141,11 @@ def decode_task(preds, *, voxel_size, pc_range, out_size_factor, max_num=100,
         pcr = jnp.asarray(post_center_range, jnp.float32)
         valid &= jnp.all(boxes[..., :3] >= pcr[:3], -1)
         valid &= jnp.all(boxes[..., :3] <= pcr[3:], -1)
-    return dict(boxes=boxes, scores=scores, labels=labels, valid=valid)
+    # 'logits' ride along as a saturation-free ranking key (AP depends
+    # only on score ORDER, so eval may rank by logit without changing
+    # the reference's sigmoid-score semantics)
+    return dict(boxes=boxes, scores=scores, labels=labels, valid=valid,
+                logits=logits)
 
 
 def get_task_detections(decoded, *, nms_thr=0.2, post_max_size=512):
@@ -146,24 +154,29 @@ def get_task_detections(decoded, *, nms_thr=0.2, post_max_size=512):
     Returns the decoded dict with ``valid`` refined by NMS and entries
     reordered by score among kept (padding at the end).
     """
-    def one(boxes, scores, labels, valid):
+    def one(boxes, scores, labels, valid, logits):
         bev = boxes[:, [0, 1, 3, 4, 6]]
         k = min(post_max_size, boxes.shape[0])
-        idx, keep = nms_bev(bev, scores, nms_thr, post_max_size=k,
+        # suppression order by logits (monotone with scores, no
+        # saturation ties at score 1.0)
+        idx, keep = nms_bev(bev, logits, nms_thr, post_max_size=k,
                             valid=valid)
         safe = jnp.maximum(idx, 0)
+        neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
         return dict(
             boxes=boxes[safe], scores=jnp.where(idx >= 0, scores[safe], 0.0),
-            labels=labels[safe], valid=idx >= 0)
+            labels=labels[safe], valid=idx >= 0,
+            logits=jnp.where(idx >= 0, logits[safe], neg_inf))
 
     return jax.vmap(one)(decoded['boxes'], decoded['scores'],
-                         decoded['labels'], decoded['valid'])
+                         decoded['labels'], decoded['valid'],
+                         decoded['logits'])
 
 
 def merge_task_detections(task_dets, task_num_classes):
     """Concatenate per-task detections, offsetting labels and converting
     gravity-center z to bottom-center (centerpoint_head_gga.py:806-812)."""
-    boxes, scores, labels, valid = [], [], [], []
+    boxes, scores, labels, valid, logits = [], [], [], [], []
     flag = 0
     for det, ncls in zip(task_dets, task_num_classes):
         b = det['boxes']
@@ -172,12 +185,14 @@ def merge_task_detections(task_dets, task_num_classes):
         scores.append(det['scores'])
         labels.append(det['labels'] + flag)
         valid.append(det['valid'])
+        logits.append(det.get('logits', det['scores']))
         flag += ncls
     return dict(
         boxes=jnp.concatenate(boxes, axis=1),
         scores=jnp.concatenate(scores, axis=1),
         labels=jnp.concatenate(labels, axis=1),
-        valid=jnp.concatenate(valid, axis=1))
+        valid=jnp.concatenate(valid, axis=1),
+        logits=jnp.concatenate(logits, axis=1))
 
 
 # ---------------------------------------------------------------- training

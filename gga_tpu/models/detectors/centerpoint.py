@@ -186,16 +186,19 @@ def decode_centerpoint(cfg: CenterPointConfig, preds):
             radius = cfg.nms_min_radius[
                 min(ti, len(cfg.nms_min_radius) - 1)]
 
-            def one(boxes, scores, labels, valid, radius=radius):
-                idx, _ = circle_nms(boxes[:, :2], scores, radius,
+            def one(boxes, scores, labels, valid, logits, radius=radius):
+                idx, _ = circle_nms(boxes[:, :2], logits, radius,
                                     post_max_size=k, valid=valid)
                 safe = jnp.maximum(idx, 0)
+                neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
                 return dict(boxes=boxes[safe],
                             scores=jnp.where(idx >= 0, scores[safe], 0.0),
-                            labels=labels[safe], valid=idx >= 0)
+                            labels=labels[safe], valid=idx >= 0,
+                            logits=jnp.where(idx >= 0, logits[safe],
+                                             neg_inf))
 
             dets.append(jax.vmap(one)(d['boxes'], d['scores'],
-                                      d['labels'], d['valid']))
+                                      d['labels'], d['valid'], d['logits']))
         else:
             dets.append(cp.get_task_detections(
                 d, nms_thr=cfg.nms_thr, post_max_size=k))

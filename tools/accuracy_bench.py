@@ -122,7 +122,11 @@ def evaluate_pseudo(model, cfg, state, ds_test, infos, dump_path=None):
             v = out['valid'][j]
             detections.append(dict(
                 boxes_3d=out['boxes'][j][v],
-                scores_3d=out['scores'][j][v],
+                # rank by LOGITS: weak-train heatmaps saturate sigmoid
+                # scores at exactly 1.0 (degenerate AP ranking); AP only
+                # depends on score order, and logits are monotone in
+                # sigmoid, so this is semantics-preserving
+                scores_3d=out['logits'][j][v],
                 labels_3d=out['labels'][j][v]))
 
     det_annos = detections_to_kitti_annos(
