@@ -116,6 +116,28 @@ def _ranks_via_merge(table_lin, queries):
     return jnp.maximum(rank_le - 1, 0), hit, rank_le
 
 
+# Windowed one-hot Pallas gather for the conv row gathers (exploits the
+# sorted invariant: per offset the neighbor ranks are monotone, so each
+# output block's hits live in a small aligned window — see
+# ops/pallas/window_gather.py). Env-gated while being A/B'd on the full
+# step (CLAUDE.md: microbench wins must be confirmed integrated).
+WINDOW_GATHER = os.environ.get('GGA_WINDOW_GATHER', '0') == '1'
+
+
+def _wg_ok(c):
+    """The kernel needs C to divide the 128 lanes and the transposed
+    output block's sublane dim (C) to be >= 8."""
+    from .pallas import window_gather as wg
+    return c >= 8 and wg.LANES % c == 0
+
+
+def _gather_t(rows, nmap, hit):
+    """where(hit, rows[nmap], 0) TRANSPOSED to [K, C, Q] (the windowed
+    kernel's native layout; consumers contract with 'kc' leading)."""
+    from .pallas.window_gather import window_gather_t
+    return window_gather_t(rows, nmap, hit)
+
+
 # Neighbor ranks via a bucketed occupancy-bitmask table instead of the
 # batched merge sort: one 4-byte gather per query replaces each query's
 # share of a [K, 2N] sort. Buckets cover 32 consecutive linear ids;
@@ -537,11 +559,17 @@ def subm_conv_with_map(features, valid, nmap, hit, weights):
 
 
 def _subm_fwd(features, valid, nmap, hit, weights):
-    gathered = jnp.where(hit[..., None], features[nmap],
-                         jnp.zeros((), features.dtype))  # [K, N, Cin]
-    out = jnp.einsum('knc,kcd->nd', gathered,
-                     weights.astype(features.dtype),
-                     preferred_element_type=jnp.float32)
+    if WINDOW_GATHER and _wg_ok(features.shape[-1]):
+        g_t = _gather_t(features, nmap, hit)             # [K, Cin, N]
+        out = jnp.einsum('kcn,kcd->nd', g_t,
+                         weights.astype(features.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        gathered = jnp.where(hit[..., None], features[nmap],
+                             jnp.zeros((), features.dtype))  # [K, N, Cin]
+        out = jnp.einsum('knc,kcd->nd', gathered,
+                         weights.astype(features.dtype),
+                         preferred_element_type=jnp.float32)
     out = jnp.where(valid[:, None], out, 0.0).astype(features.dtype)
     return out, (features, valid, nmap, hit, weights)
 
@@ -549,6 +577,22 @@ def _subm_fwd(features, valid, nmap, hit, weights):
 def _subm_bwd(res, dout):
     features, valid, nmap, hit, weights = res
     dout = jnp.where(valid[:, None], dout, 0.0)
+    w_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)     # [K, Cout, Cin]
+    if (WINDOW_GATHER and _wg_ok(features.shape[-1])
+            and _wg_ok(dout.shape[-1])):
+        # same kernel both ways: dout's gather uses the SAME (monotone)
+        # map; the features re-gather CSEs with the forward's call
+        g_tf = _gather_t(features, nmap, hit)
+        dw = jnp.einsum('kcn,nd->kcd', g_tf, dout,
+                        preferred_element_type=jnp.float32).astype(
+                            weights.dtype)
+        g_td = _gather_t(dout, nmap, hit)                  # [K, Cout, N]
+        df = jnp.einsum('kdn,kdc->nc', g_td,
+                        w_t.astype(dout.dtype),
+                        preferred_element_type=jnp.float32).astype(
+                            features.dtype)
+        df = jnp.where(valid[:, None], df, 0.0)
+        return df, None, None, None, dw
     # dW[k] = gathered_f[k]^T @ dout. The features re-gather is FREE:
     # XLA CSEs it with the forward's identical gather in the same
     # program (measured: replacing it with a mirrored-pair einsum on
@@ -563,7 +607,6 @@ def _subm_bwd(res, dout):
     # nmap[k, n] = m  <=>  nmap[K-1-k, m] = n)
     gathered_d = jnp.where(hit[..., None], dout[nmap],
                            jnp.zeros((), dout.dtype))      # [K, N, Cout]
-    w_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)     # [K, Cout, Cin]
     df = jnp.einsum('knd,kdc->nc', gathered_d,
                     w_t.astype(dout.dtype),
                     preferred_element_type=jnp.float32).astype(
@@ -683,10 +726,22 @@ def _rb_gather(rows, mapping):
     return g.reshape(mapping.shape + (rows.shape[-1],))
 
 
+def _rb_gather_t(rows, mapping):
+    """_rb_gather transposed to [K, C, Q] via the windowed kernel (the
+    rulebook maps are monotone per scene/offset for the same sorted
+    reason the neighbor maps are)."""
+    return _gather_t(rows, jnp.maximum(mapping, 0), mapping >= 0)
+
+
 def _rb_fwd(features, weights, fwd_map, bwd_map, out_valid):
-    g = _rb_gather(features, fwd_map)                 # [K, M, Cin]
-    out = jnp.einsum('knc,kcd->nd', g, weights.astype(g.dtype),
-                     preferred_element_type=jnp.float32)
+    if WINDOW_GATHER and _wg_ok(features.shape[-1]):
+        g_t = _rb_gather_t(features, fwd_map)         # [K, Cin, M]
+        out = jnp.einsum('kcn,kcd->nd', g_t, weights.astype(g_t.dtype),
+                         preferred_element_type=jnp.float32)
+    else:
+        g = _rb_gather(features, fwd_map)             # [K, M, Cin]
+        out = jnp.einsum('knc,kcd->nd', g, weights.astype(g.dtype),
+                         preferred_element_type=jnp.float32)
     out = jnp.where(out_valid[:, None], out, 0.0).astype(features.dtype)
     return out, (features, weights, fwd_map, bwd_map, out_valid)
 
@@ -694,6 +749,18 @@ def _rb_fwd(features, weights, fwd_map, bwd_map, out_valid):
 def _rb_bwd(res, dout):
     features, weights, fwd_map, bwd_map, out_valid = res
     dout = jnp.where(out_valid[:, None], dout, 0.0)
+    if (WINDOW_GATHER and _wg_ok(features.shape[-1])
+            and _wg_ok(dout.shape[-1])):
+        g_t = _rb_gather_t(features, fwd_map)         # CSEs with forward
+        dw = jnp.einsum('kcn,nd->kcd', g_t, dout,
+                        preferred_element_type=jnp.float32).astype(
+                            weights.dtype)
+        gd_t = _rb_gather_t(dout, bwd_map)            # [K, Cout, N]
+        df = jnp.einsum('kdn,kdc->nc', gd_t,
+                        weights.transpose(0, 2, 1).astype(gd_t.dtype),
+                        preferred_element_type=jnp.float32).astype(
+                            features.dtype)
+        return df, dw, None, None, None
     # recompute is free: XLA CSEs it with the forward's gather
     g = _rb_gather(features, fwd_map)
     dw = jnp.einsum('knc,nd->kcd', g, dout,
