@@ -32,18 +32,20 @@ and gathers within it using dense vector math — no per-row descriptors:
   ungrouped variant (1.17x/0.67x at stage0/1 vs XLA).
 - Blocks with no hits repeat the previous window index, so the Pallas
   pipeline skips their DMA (on bench scenes most stage-0
-  (offset, block) pairs are empty), and their compute is skipped with
-  ``pl.when``.
+  (offset, block) pairs are empty). Their compute is NOT predicated:
+  the body is branchless because per-sub-block ``pl.when`` serialized
+  the pipeline (12.9 vs 1.9 ms at stage1) — all-miss blocks flow
+  through the same math and the empty one-hot yields exact zeros.
 
 Output is TRANSPOSED per offset — [K, C, Q] — because the extraction
 naturally produces [C, TILE] tiles; consumers contract it as
 ``einsum('kcn,kcd->nd')`` which costs XLA nothing.
 
 Correctness is unconditional: the wrapper checks every hit fell inside
-its aligned 2*WG*pack-row window (capacity WG*pack+1 = 1025 rows of
-span at C=16, 257 at C=64) and falls back to the XLA gather via
-``lax.cond`` otherwise, so odd data distributions can never produce
-wrong values — only different speed.
+its aligned two-half window (capacity WG*pack+1 = 1025 original rows of
+span at C<=32, 513 at C=64/128 — see _wg_for) and falls back to the XLA
+gather via ``lax.cond`` otherwise, so odd data distributions can never
+produce wrong values — only different speed.
 """
 from __future__ import annotations
 
@@ -57,15 +59,25 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 TILE = 128        # gathered rows per output block (one lane tile)
 GROUP = 8         # output blocks per grid step
-WG = 128          # window half size in WIDE rows
 
 
-def _kernel(pack, c, bb_ref, cols_ref, *refs):
-    """One (offset k, block group jg) step.
+def _wg_for(c):
+    """Window half size in WIDE rows: span capacity is WG*pack+1
+    original rows, kept >= 1025 at C<=32 and >= 513 at C=64/128
+    (measured bench-scene spans max out at 451/128-block)."""
+    pack = LANES // c
+    return 128 if pack >= 4 else (256 if pack == 2 else 512)
+
+
+def _kernel(pack, c, wg, bb_ref, cols_ref, *refs):
+    """One (offset k, block group jg) step — BRANCHLESS: per-sub-block
+    ``pl.when`` predication measured 12.9 vs 1.9 ms at stage1 (the
+    branches serialize Mosaic's pipeline); all-miss blocks flow through
+    the same math and produce exact zeros via the empty one-hot.
 
     cols_ref: [1, 1, GROUP, TILE] int32 — original-row index relative to
-        each sub-block's window base (bb * WG * pack); -1 for misses.
-    refs: GROUP pairs of [WG, 128] wide-row window halves, then
+        each sub-block's window base (bb * wg * pack); -1 for misses.
+    refs: GROUP pairs of [wg, 128] wide-row window halves, then
         out_ref [1, C, GROUP*TILE].
     """
     out_ref = refs[-1]
@@ -75,38 +87,29 @@ def _kernel(pack, c, bb_ref, cols_ref, *refs):
         f0 = refs[2 * g]
         f1 = refs[2 * g + 1]
         cols = cols_ref[0, 0, g:g + 1, :]            # [1, TILE]
-        has_any = jnp.max(cols) >= 0
-
-        @pl.when(jnp.logical_not(has_any))
-        def _(g=g):
-            out_ref[0, :, g * TILE:(g + 1) * TILE] = jnp.zeros(
-                (c, TILE), out_ref.dtype)
-
-        @pl.when(has_any)
-        def _(g=g, f0=f0, f1=f1, cols=cols):
-            # wide-row index within the 2*WG window; misses stay negative
-            a = jax.lax.shift_right_arithmetic(cols, shift)   # [1, TILE]
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (WG, TILE), 0)
-            oh0 = (iota_w == a).astype(f0.dtype)              # [WG, TILE]
-            oh1 = (iota_w + WG == a).astype(f0.dtype)
-            # rw_t[l, i] = win[a_i, l]: transposed-lhs one-hot select
-            dn = (((0,), (0,)), ((), ()))
-            rw_t = (
-                jax.lax.dot_general(f0[:], oh0, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(f1[:], oh1, dn,
-                                      preferred_element_type=jnp.float32)
-            )                                                  # [128, TILE]
-            if pack == 1:
-                out = rw_t
-            else:
-                seg = cols & (pack - 1)                        # [1, TILE]
-                out = jnp.zeros((c, TILE), jnp.float32)
-                for s in range(pack):
-                    out = out + jnp.where(seg == s,
-                                          rw_t[s * c:(s + 1) * c, :], 0.0)
-            out_ref[0, :, g * TILE:(g + 1) * TILE] = out.astype(
-                out_ref.dtype)
+        # wide-row index within the 2*wg window; misses stay negative
+        a = jax.lax.shift_right_arithmetic(cols, shift)   # [1, TILE]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wg, TILE), 0)
+        oh0 = (iota_w == a).astype(f0.dtype)              # [wg, TILE]
+        oh1 = (iota_w + wg == a).astype(f0.dtype)
+        # rw_t[l, i] = win[a_i, l]: transposed-lhs one-hot select
+        dn = (((0,), (0,)), ((), ()))
+        rw_t = (
+            jax.lax.dot_general(f0[:], oh0, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(f1[:], oh1, dn,
+                                  preferred_element_type=jnp.float32)
+        )                                                  # [128, TILE]
+        if pack == 1:
+            out = rw_t
+        else:
+            seg = cols & (pack - 1)                        # [1, TILE]
+            out = jnp.zeros((c, TILE), jnp.float32)
+            for s in range(pack):
+                out = out + jnp.where(seg == s,
+                                      rw_t[s * c:(s + 1) * c, :], 0.0)
+        out_ref[0, :, g * TILE:(g + 1) * TILE] = out.astype(
+            out_ref.dtype)
 
 
 def _pad_rows(x, mult):
@@ -120,8 +123,8 @@ def _pad_rows(x, mult):
 
 @functools.partial(jax.jit, static_argnames=('c', 'interpret'))
 def _window_gather_t(fwide, c, bb, cols, interpret=False):
-    """fwide [Rw, 128] wide-row view (Rw % WG == 0); bb [K, nbg*GROUP]
-    int32 window block index (in WG wide-row units, <= Rw/WG - 2);
+    """fwide [Rw, 128] wide-row view (Rw % wg == 0); bb [K, nbg*GROUP]
+    int32 window block index (in wg wide-row units, <= Rw/wg - 2);
     cols [K, nbg*GROUP*TILE] int32 window-relative original rows
     (-1 = miss). Returns [K, C, nbg*GROUP*TILE]."""
     c = int(c)
@@ -130,20 +133,21 @@ def _window_gather_t(fwide, c, bb, cols, interpret=False):
     assert q == nbb * TILE and nbb % GROUP == 0
     nbg = nbb // GROUP
     pack = LANES // c
+    wg = _wg_for(c)
     cols4 = cols.reshape(k, nbg, GROUP, TILE)
 
     win_specs = []
     for g in range(GROUP):
         for h in range(2):
             win_specs.append(pl.BlockSpec(
-                (WG, LANES),
+                (wg, LANES),
                 functools.partial(
                     lambda ki, j, bb_ref, g, h:
                     (bb_ref[ki, j * GROUP + g] + h, 0), g=g, h=h),
                 memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, pack, c),
+        functools.partial(_kernel, pack, c, wg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(k, nbg),
@@ -169,7 +173,7 @@ def window_prep(nmap, hit, r, c):
     k, qq = nmap.shape
     nb = qq // TILE
     pack = LANES // c
-    window = WG * pack              # window alignment in ORIGINAL rows
+    window = _wg_for(c) * pack      # window alignment in ORIGINAL rows
 
     big = jnp.int32(2 ** 30)
     eff = jnp.where(hit, nmap.astype(jnp.int32), big)
@@ -204,7 +208,7 @@ def window_gather_t(features, nmap, hit, interpret=None):
     r, c = features.shape
     assert LANES % c == 0, f'C={c} must divide {LANES}'
     pack = LANES // c
-    window = WG * pack
+    window = _wg_for(c) * pack
 
     qp = (-q) % (GROUP * TILE)
     if qp:

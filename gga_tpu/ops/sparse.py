@@ -126,9 +126,11 @@ WINDOW_GATHER = os.environ.get('GGA_WINDOW_GATHER', '0') == '1'
 
 def _wg_ok(c):
     """The kernel needs C to divide the 128 lanes and the transposed
-    output block's sublane dim (C) to be >= 8."""
+    output block's sublane dim (C) to be >= 8. C=128 is excluded: XLA's
+    gather is byte-bound there and beats the kernel (3.3 vs 5.6 ms,
+    tools/microbench_window_gather.py)."""
     from .pallas import window_gather as wg
-    return c >= 8 and wg.LANES % c == 0
+    return 8 <= c < 128 and wg.LANES % c == 0
 
 
 def _gather_t(rows, nmap, hit):

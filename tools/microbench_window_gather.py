@@ -122,7 +122,7 @@ def main():
         pad = (-Q) % (wg.GROUP * wg.TILE)
         nm = jnp.pad(nmap_flat, ((0, 0), (0, pad)))
         ht = jnp.pad(hit_flat, ((0, 0), (0, pad)))
-        window = wg.WG * (wg.LANES // C)
+        window = wg._wg_for(C) * (wg.LANES // C)
         rr = Q + (-Q) % (2 * window)
         ovf = bool(wg.window_prep(nm, ht, rr, C)[2])
         print(f'stage{s} C={C:3d} rows={K * Q} hits={hits} '
