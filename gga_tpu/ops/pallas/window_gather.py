@@ -166,6 +166,193 @@ def _window_gather_t(fwide, c, bb, cols, interpret=False):
     return out
 
 
+def _conv_kernel(pack, c, d, wg, bb_ref, cols_ref, w_ref, *refs):
+    """Fused submanifold conv step: gather + per-offset GEMM + K-offset
+    accumulation, grid (nbg, K) with k innermost so the output block is
+    revisited across all offsets. BRANCHLESS: the f32 accumulator is
+    reset via a (k == 0) select (select, NOT multiply — uninitialized
+    scratch can hold NaN and 0*NaN would poison it), and the output
+    block is written every step (VMEM-local, cheap) so no pl.when is
+    needed anywhere.
+
+    w_ref: [1, C, D] this offset's weights; refs: GROUP pairs of
+    [wg, 128] window halves, out_ref [GROUP*TILE, D], acc scratch
+    [GROUP*TILE, D] f32.
+    """
+    out_ref = refs[-2]
+    acc_ref = refs[-1]
+    shift = pack.bit_length() - 1
+    k = pl.program_id(1)
+    first = k == 0
+
+    for g in range(GROUP):
+        f0 = refs[2 * g]
+        f1 = refs[2 * g + 1]
+        cols = cols_ref[0, 0, g:g + 1, :]                 # [1, TILE]
+        a = jax.lax.shift_right_arithmetic(cols, shift)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wg, TILE), 0)
+        oh0 = (iota_w == a).astype(f0.dtype)
+        oh1 = (iota_w + wg == a).astype(f0.dtype)
+        dn = (((0,), (0,)), ((), ()))
+        rw_t = (
+            jax.lax.dot_general(f0[:], oh0, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(f1[:], oh1, dn,
+                                  preferred_element_type=jnp.float32)
+        )                                                  # [128, TILE]
+        if pack == 1:
+            g_t = rw_t
+        else:
+            seg = cols & (pack - 1)
+            g_t = jnp.zeros((c, TILE), jnp.float32)
+            for s in range(pack):
+                g_t = g_t + jnp.where(seg == s,
+                                      rw_t[s * c:(s + 1) * c, :], 0.0)
+        # [TILE, D] = gathered^T @ W_k (bf16 inputs, f32 accumulation —
+        # identical math to the einsum path modulo summation order)
+        contrib = jax.lax.dot_general(
+            g_t.astype(f0.dtype), w_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # select, not multiply: uninitialized scratch can hold NaN and
+        # 0 * NaN = NaN would poison the k=0 reset
+        prev = jnp.where(first, 0.0,
+                         acc_ref[g * TILE:(g + 1) * TILE, :])
+        acc_ref[g * TILE:(g + 1) * TILE, :] = prev + contrib
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _dw_kernel(pack, c, d, wg, bb_ref, cols_ref, dout_ref, *refs):
+    """Fused dW step: dw[k] = sum_n gathered_f[k, :, n] dout[n, :],
+    grid (K, nbg) with j innermost so dw[k] accumulates in VMEM.
+
+    dout_ref: [GROUP*TILE, D]; refs: GROUP window-half pairs over the
+    FEATURES, out_ref [1, C, D] (f32), acc scratch [C, D] f32.
+    """
+    out_ref = refs[-2]
+    acc_ref = refs[-1]
+    shift = pack.bit_length() - 1
+    j = pl.program_id(1)
+    # select, not multiply: uninitialized scratch can hold NaN
+    acc = jnp.where(j == 0, 0.0, acc_ref[:])
+    for g in range(GROUP):
+        f0 = refs[2 * g]
+        f1 = refs[2 * g + 1]
+        cols = cols_ref[0, 0, g:g + 1, :]
+        a = jax.lax.shift_right_arithmetic(cols, shift)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wg, TILE), 0)
+        oh0 = (iota_w == a).astype(f0.dtype)
+        oh1 = (iota_w + wg == a).astype(f0.dtype)
+        dn = (((0,), (0,)), ((), ()))
+        rw_t = (
+            jax.lax.dot_general(f0[:], oh0, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(f1[:], oh1, dn,
+                                  preferred_element_type=jnp.float32)
+        )
+        if pack == 1:
+            g_t = rw_t
+        else:
+            seg = cols & (pack - 1)
+            g_t = jnp.zeros((c, TILE), jnp.float32)
+            for s in range(pack):
+                g_t = g_t + jnp.where(seg == s,
+                                      rw_t[s * c:(s + 1) * c, :], 0.0)
+        dout_g = dout_ref[g * TILE:(g + 1) * TILE, :]      # [TILE, D]
+        acc = acc + jax.lax.dot_general(
+            g_t.astype(dout_g.dtype), dout_g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=('c', 'd', 'interpret'))
+def _window_conv(fwide, c, d, bb, cols, weights, interpret=False):
+    """Fused conv: returns [Q, D] f- features conv'd with [K, C, D]
+    weights over the windowed maps. Arguments as _window_gather_t plus
+    weights."""
+    c, d = int(c), int(d)
+    k, nbb = bb.shape
+    q = cols.shape[1]
+    nbg = nbb // GROUP
+    pack = LANES // c
+    wg = _wg_for(c)
+    cols4 = cols.reshape(k, nbg, GROUP, TILE)
+
+    win_specs = []
+    for g in range(GROUP):
+        for h in range(2):
+            win_specs.append(pl.BlockSpec(
+                (wg, LANES),
+                functools.partial(
+                    lambda j, ki, bb_ref, g, h:
+                    (bb_ref[ki, j * GROUP + g] + h, 0), g=g, h=h),
+                memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, pack, c, d, wg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbg, k),
+            in_specs=[
+                pl.BlockSpec((1, 1, GROUP, TILE),
+                             lambda j, ki, bb_ref: (ki, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, d),
+                             lambda j, ki, bb_ref: (ki, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + win_specs,
+            out_specs=pl.BlockSpec(
+                (GROUP * TILE, d), lambda j, ki, bb_ref: (j, 0)),
+            scratch_shapes=[pltpu.VMEM((GROUP * TILE, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, d), fwide.dtype),
+        interpret=interpret,
+    )(bb, cols4, weights, *([fwide] * (2 * GROUP)))
+
+
+@functools.partial(jax.jit, static_argnames=('c', 'd', 'interpret'))
+def _window_dw(fwide, c, d, bb, cols, dout, interpret=False):
+    """Fused dW: [K, C, D] f32 from the windowed feature gathers and
+    dout [Q, D]."""
+    c, d = int(c), int(d)
+    k, nbb = bb.shape
+    nbg = nbb // GROUP
+    pack = LANES // c
+    wg = _wg_for(c)
+    cols4 = cols.reshape(k, nbg, GROUP, TILE)
+
+    win_specs = []
+    for g in range(GROUP):
+        for h in range(2):
+            win_specs.append(pl.BlockSpec(
+                (wg, LANES),
+                functools.partial(
+                    lambda ki, j, bb_ref, g, h:
+                    (bb_ref[ki, j * GROUP + g] + h, 0), g=g, h=h),
+                memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, pack, c, d, wg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(k, nbg),
+            in_specs=[
+                pl.BlockSpec((1, 1, GROUP, TILE),
+                             lambda ki, j, bb_ref: (ki, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((GROUP * TILE, d),
+                             lambda ki, j, bb_ref: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ] + win_specs,
+            out_specs=pl.BlockSpec(
+                (1, c, d), lambda ki, j, bb_ref: (ki, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((c, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, c, d), jnp.float32),
+        interpret=interpret,
+    )(bb, cols4, dout, *([fwide] * (2 * GROUP)))
+
+
 def window_prep(nmap, hit, r, c):
     """(bb, cols, ovf) for the kernel: per-block aligned window bases
     (empty blocks repeating the previous base so their DMA is skipped),

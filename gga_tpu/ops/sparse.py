@@ -620,6 +620,107 @@ def _subm_bwd(res, dout):
 subm_conv_with_map.defvjp(_subm_fwd, _subm_bwd)
 
 
+# Fully fused windowed subm conv: gather + per-offset GEMM + K-offset
+# accumulation in ONE Pallas kernel — the [K, C, B*N] gathered
+# intermediate never exists in HBM. Opt-in via GGA_WINDOW_CONV=1
+# (requires the window-gather preconditions; falls back to the einsum
+# path per-call on span overflow).
+WINDOW_CONV = os.environ.get('GGA_WINDOW_CONV', '0') == '1'
+
+
+def _window_conv_apply(features, nmap, hit, weights):
+    """cond(overflow, einsum path, fused kernel): [Q, D]."""
+    from .pallas import window_gather as wg
+    k, q = nmap.shape
+    c = features.shape[-1]
+    d = weights.shape[-1]
+    pack = wg.LANES // c
+    window = wg._wg_for(c) * pack
+    qp = (-q) % (wg.GROUP * wg.TILE)
+    nmap_p = jnp.pad(nmap, ((0, 0), (0, qp)))
+    hit_p = jnp.pad(hit, ((0, 0), (0, qp)))
+    f = wg._pad_rows(features, 2 * window)
+    fwide = f.reshape(f.shape[0] // pack, wg.LANES)
+    bb, cols, ovf = wg.window_prep(nmap_p, hit_p, f.shape[0], c)
+    w_cast = weights.astype(features.dtype)
+
+    def xla_path(_):
+        g = jnp.where(hit.reshape(-1)[:, None],
+                      features[jnp.maximum(nmap, 0).reshape(-1)], 0.0)
+        g = g.reshape(k, q, c)
+        return jnp.einsum('knc,kcd->nd', g, w_cast,
+                          preferred_element_type=jnp.float32).astype(
+                              features.dtype)
+
+    def pallas_path(_):
+        interp = jax.default_backend() != 'tpu'
+        out = wg._window_conv(fwide, c, d, bb, cols, w_cast,
+                              interpret=interp)
+        return out[:q]
+
+    return jax.lax.cond(ovf, xla_path, pallas_path, None)
+
+
+def _window_dw_apply(features, nmap, hit, dout):
+    """cond(overflow, einsum path, fused dW kernel): [K, C, D] f32."""
+    from .pallas import window_gather as wg
+    k, q = nmap.shape
+    c = features.shape[-1]
+    d = dout.shape[-1]
+    pack = wg.LANES // c
+    window = wg._wg_for(c) * pack
+    qp = (-q) % (wg.GROUP * wg.TILE)
+    nmap_p = jnp.pad(nmap, ((0, 0), (0, qp)))
+    hit_p = jnp.pad(hit, ((0, 0), (0, qp)))
+    f = wg._pad_rows(features, 2 * window)
+    fwide = f.reshape(f.shape[0] // pack, wg.LANES)
+    bb, cols, ovf = wg.window_prep(nmap_p, hit_p, f.shape[0], c)
+    dout_p = jnp.pad(dout, ((0, qp), (0, 0)))
+
+    def xla_path(_):
+        g = jnp.where(hit.reshape(-1)[:, None],
+                      features[jnp.maximum(nmap, 0).reshape(-1)], 0.0)
+        g = g.reshape(k, q, c)
+        return jnp.einsum('knc,nd->kcd', g, dout,
+                          preferred_element_type=jnp.float32)
+
+    def pallas_path(_):
+        interp = jax.default_backend() != 'tpu'
+        return wg._window_dw(fwide, c, d, bb, cols, dout_p,
+                             interpret=interp)
+
+    return jax.lax.cond(ovf, xla_path, pallas_path, None)
+
+
+@jax.custom_vjp
+def subm_conv_window(features, valid, nmap, hit, weights):
+    """``subm_conv_with_map`` on the fused windowed kernel (same args,
+    same semantics; summation order differs so expect f32-accumulation
+    noise, not bitwise equality)."""
+    out, _ = _subm_window_fwd(features, valid, nmap, hit, weights)
+    return out
+
+
+def _subm_window_fwd(features, valid, nmap, hit, weights):
+    out = _window_conv_apply(features, nmap, hit, weights)
+    out = jnp.where(valid[:, None], out, 0.0).astype(features.dtype)
+    return out, (features, valid, nmap, hit, weights)
+
+
+def _subm_window_bwd(res, dout):
+    features, valid, nmap, hit, weights = res
+    dout = jnp.where(valid[:, None], dout, 0.0).astype(features.dtype)
+    dw = _window_dw_apply(features, nmap, hit, dout).astype(weights.dtype)
+    # df via offset symmetry: same maps, weights flipped + transposed
+    w_t = jnp.flip(weights, axis=0).transpose(0, 2, 1)
+    df = _window_conv_apply(dout, nmap, hit, w_t)
+    df = jnp.where(valid[:, None], df, 0.0).astype(features.dtype)
+    return df, None, None, None, dw
+
+
+subm_conv_window.defvjp(_subm_window_fwd, _subm_window_bwd)
+
+
 def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
                         out_budget):
     """Output sites of a strided sparse conv PLUS its full gather rulebook,

@@ -106,6 +106,32 @@ def test_subm_conv_flag_equivalence(monkeypatch):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('c,d', [(16, 16), (32, 64), (64, 64)])
+def test_fused_conv_matches_einsum_path(c, d):
+    """subm_conv_window (fused gather+GEMM kernel) == subm_conv_with_map
+    in values and grads (f32-accumulation order differs, so allclose)."""
+    rng = np.random.RandomState(c + d)
+    st = _random_st(rng, 700, 768, c)
+    nmap, hit = sp.build_neighbor_map(st)
+    w = jnp.asarray(rng.randn(27, c, d).astype(np.float32) * 0.1)
+
+    def loss(fn, feats, weights):
+        out = fn(feats, st.valid, nmap, hit, weights)
+        return (out * jnp.cos(out)).sum()
+
+    import functools
+    base = jax.value_and_grad(
+        functools.partial(loss, sp.subm_conv_with_map),
+        argnums=(0, 1))(st.features, w)
+    fast = jax.value_and_grad(
+        functools.partial(loss, sp.subm_conv_window),
+        argnums=(0, 1))(st.features, w)
+    np.testing.assert_allclose(base[0], fast[0], rtol=1e-5)
+    for a, b in zip(base[1], fast[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_rulebook_conv_flag_equivalence(monkeypatch):
     rng = np.random.RandomState(4)
     st = _random_st(rng, 700, 768, 32)
