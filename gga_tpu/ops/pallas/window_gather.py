@@ -166,34 +166,36 @@ def _window_gather_t(fwide, c, bb, cols, interpret=False):
     return out
 
 
-def _conv_kernel(pack, c, d, wg, bb_ref, cols_ref, w_ref, *refs):
-    """Fused submanifold conv step: gather + per-offset GEMM + K-offset
-    accumulation, grid (nbg, K) with k innermost so the output block is
-    revisited across all offsets. BRANCHLESS: the f32 accumulator is
-    reset via a (k == 0) select (select, NOT multiply — uninitialized
-    scratch can hold NaN and 0*NaN would poison it), and the output
-    block is written every step (VMEM-local, cheap) so no pl.when is
-    needed anywhere.
+def _conv_kernel(pack, c, d, wg, nk, bb_ref, cols_ref, w_ref, *refs):
+    """Fused submanifold conv step — OFFSETS-RESIDENT design: grid is
+    (nb,) over output blocks only, and every offset's two window halves
+    are separate input refs live in VMEM simultaneously (2*nk refs). As
+    j sweeps, each offset's window index bb[k, j] is monotone
+    nondecreasing, so its DMA re-issues only when the window actually
+    moves — the gather-only kernel's locality — while the K-offset
+    accumulation stays in registers and is written once per block. This
+    removes both round-3/4 failure modes: the (nbg, K) grid's per-offset
+    window re-issue (~1.0x) and the (K, nbg) grid's aliased HBM f32
+    accumulator whose in/out dependency serialized the pipeline
+    (0.55x at stage2).
 
-    w_ref: [1, C, D] this offset's weights; refs: GROUP pairs of
-    [wg, 128] window halves, out_ref [GROUP*TILE, D], acc scratch
-    [GROUP*TILE, D] f32.
+    cols_ref: [1, nk, TILE] window-relative original rows (-1 = miss);
+    w_ref: [nk, C, D] all offsets' weights (resident); refs: nk pairs of
+    [wg, 128] window halves, then out_ref [TILE, D].
     """
-    out_ref = refs[-2]
-    acc_ref = refs[-1]
+    out_ref = refs[-1]
     shift = pack.bit_length() - 1
-    k = pl.program_id(1)
-    first = k == 0
+    acc = jnp.zeros((TILE, d), jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (wg, TILE), 0)
+    dn = (((0,), (0,)), ((), ()))
 
-    for g in range(GROUP):
-        f0 = refs[2 * g]
-        f1 = refs[2 * g + 1]
-        cols = cols_ref[0, 0, g:g + 1, :]                 # [1, TILE]
+    for k in range(nk):
+        f0 = refs[2 * k]
+        f1 = refs[2 * k + 1]
+        cols = cols_ref[0, k:k + 1, :]                     # [1, TILE]
         a = jax.lax.shift_right_arithmetic(cols, shift)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wg, TILE), 0)
         oh0 = (iota_w == a).astype(f0.dtype)
         oh1 = (iota_w + wg == a).astype(f0.dtype)
-        dn = (((0,), (0,)), ((), ()))
         rw_t = (
             jax.lax.dot_general(f0[:], oh0, dn,
                                 preferred_element_type=jnp.float32)
@@ -208,17 +210,12 @@ def _conv_kernel(pack, c, d, wg, bb_ref, cols_ref, w_ref, *refs):
             for s in range(pack):
                 g_t = g_t + jnp.where(seg == s,
                                       rw_t[s * c:(s + 1) * c, :], 0.0)
-        # [TILE, D] = gathered^T @ W_k (bf16 inputs, f32 accumulation —
+        # [TILE, D] += gathered^T @ W_k (bf16 inputs, f32 accumulation —
         # identical math to the einsum path modulo summation order)
-        contrib = jax.lax.dot_general(
-            g_t.astype(f0.dtype), w_ref[0], (((0,), (0,)), ((), ())),
+        acc = acc + jax.lax.dot_general(
+            g_t.astype(f0.dtype), w_ref[k], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # select, not multiply: uninitialized scratch can hold NaN and
-        # 0 * NaN = NaN would poison the k=0 reset
-        prev = jnp.where(first, 0.0,
-                         acc_ref[g * TILE:(g + 1) * TILE, :])
-        acc_ref[g * TILE:(g + 1) * TILE, :] = prev + contrib
-    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _dw_kernel(pack, c, d, wg, bb_ref, cols_ref, dout_ref, *refs):
@@ -267,47 +264,48 @@ def _dw_kernel(pack, c, d, wg, bb_ref, cols_ref, dout_ref, *refs):
 
 @functools.partial(jax.jit, static_argnames=('c', 'd', 'interpret'))
 def _window_conv(fwide, c, d, bb, cols, weights, interpret=False):
-    """Fused conv: returns [Q, D] f- features conv'd with [K, C, D]
+    """Fused conv: returns [Q, D] — features conv'd with [K, C, D]
     weights over the windowed maps. Arguments as _window_gather_t plus
-    weights."""
+    weights; q must be a TILE multiple."""
     c, d = int(c), int(d)
-    k, nbb = bb.shape
+    nk, nb = bb.shape
     q = cols.shape[1]
-    nbg = nbb // GROUP
+    assert q == nb * TILE
     pack = LANES // c
     wg = _wg_for(c)
-    cols4 = cols.reshape(k, nbg, GROUP, TILE)
+    # [nb, nk, TILE] so the per-step block (1, nk, TILE) has its last
+    # two dims equal to the array dims (Mosaic block-shape constraint)
+    cols3 = cols.reshape(nk, nb, TILE).transpose(1, 0, 2)
 
     win_specs = []
-    for g in range(GROUP):
+    for k in range(nk):
         for h in range(2):
             win_specs.append(pl.BlockSpec(
                 (wg, LANES),
                 functools.partial(
-                    lambda j, ki, bb_ref, g, h:
-                    (bb_ref[ki, j * GROUP + g] + h, 0), g=g, h=h),
+                    lambda j, bb_ref, k, h: (bb_ref[k, j] + h, 0),
+                    k=k, h=h),
                 memory_space=pltpu.VMEM))
 
     return pl.pallas_call(
-        functools.partial(_conv_kernel, pack, c, d, wg),
+        functools.partial(_conv_kernel, pack, c, d, wg, nk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nbg, k),
+            grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, 1, GROUP, TILE),
-                             lambda j, ki, bb_ref: (ki, j, 0, 0),
+                pl.BlockSpec((1, nk, TILE),
+                             lambda j, bb_ref: (j, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c, d),
-                             lambda j, ki, bb_ref: (ki, 0, 0),
+                pl.BlockSpec((nk, c, d),
+                             lambda j, bb_ref: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + win_specs,
             out_specs=pl.BlockSpec(
-                (GROUP * TILE, d), lambda j, ki, bb_ref: (j, 0)),
-            scratch_shapes=[pltpu.VMEM((GROUP * TILE, d), jnp.float32)],
+                (TILE, d), lambda j, bb_ref: (j, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((q, d), fwide.dtype),
         interpret=interpret,
-    )(bb, cols4, weights, *([fwide] * (2 * GROUP)))
+    )(bb, cols3, weights, *([fwide] * (2 * nk)))
 
 
 @functools.partial(jax.jit, static_argnames=('c', 'd', 'interpret'))

@@ -636,7 +636,7 @@ def _window_conv_apply(features, nmap, hit, weights):
     d = weights.shape[-1]
     pack = wg.LANES // c
     window = wg._wg_for(c) * pack
-    qp = (-q) % (wg.GROUP * wg.TILE)
+    qp = (-q) % wg.TILE
     nmap_p = jnp.pad(nmap, ((0, 0), (0, qp)))
     hit_p = jnp.pad(hit, ((0, 0), (0, qp)))
     f = wg._pad_rows(features, 2 * window)

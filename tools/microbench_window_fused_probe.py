@@ -67,29 +67,35 @@ def main():
     stages[1] = (c1, v1, g1, 32)
     c2, v2, g2 = downsample(c1, v1, g1)
     stages[2] = (c2, v2, g2, 64)
+    c3, v3, g3 = downsample(c2, v2, g2)
+    stages[3] = (c3, v3, g3, 128)
 
     rng = np.random.RandomState(0)
     K = 8
 
-    def scan_time(fn, feats, w):
+    def scan_time(fn, feats, w, bb, cols):
+        # bb/cols/w passed as jit ARGUMENTS (large closed-over device
+        # arrays bake into the HLO and can 413 the remote-compile POST)
         times = {}
         for kk in (1, K):
             @jax.jit
-            def run(f, kk=kk):
+            def run(f, w_, bb_, cols_, kk=kk):
                 def body(f, _):
-                    out = fn(f, w)
-                    return f + out * 1e-9, ()
+                    out = fn(f, w_, bb_, cols_)
+                    # shape-safe anti-CSE feedback: a scalar of the
+                    # output folds into the carry regardless of shape
+                    return f + (jnp.sum(out) * 1e-12).astype(f.dtype), ()
                 f, _ = jax.lax.scan(body, f, None, length=kk)
                 return f
-            jax.block_until_ready(run(feats))
+            jax.block_until_ready(run(feats, w, bb, cols))
             t0 = time.perf_counter()
             for _ in range(3):
-                out = run(feats)
+                out = run(feats, w, bb, cols)
             jax.block_until_ready(out)
             times[kk] = (time.perf_counter() - t0) / 3
         return max((times[K] - times[1]) / (K - 1), 1e-9)
 
-    for s in (0, 1, 2):
+    for s in (0, 1, 2, 3):
         coords, valid, grid, C = stages[s]
         nmap_flat, hit_flat = stage_maps(coords, valid, grid)
         feats = jnp.asarray(rng.randn(B * N, C).astype(np.float32),
@@ -110,14 +116,14 @@ def main():
         # max window-relative col over hits (span diagnostic)
         maxcol = int(jnp.where(cols >= 0, cols, 0).max())
 
-        def g_only(fw, _w):
-            return wg._window_gather_t(fw, C, bb, cols)
+        def g_only(fw, _w, bb_, cols_):
+            return wg._window_gather_t(fw, C, bb_, cols_)
 
-        def fused(fw, w_):
-            return wg._window_conv(fw, C, C, bb, cols, w_)
+        def fused(fw, w_, bb_, cols_):
+            return wg._window_conv(fw, C, C, bb_, cols_, w_)
 
-        t_g = scan_time(g_only, fwide, w)
-        t_f = scan_time(fused, fwide, w)
+        t_g = scan_time(g_only, fwide, w, bb, cols)
+        t_f = scan_time(fused, fwide, w, bb, cols)
         print(f'stage{s} C={C:3d}: ovf={bool(ovf)} maxcol={maxcol} '
               f'(cap={2 * window}) | gather-only {t_g * 1e3:7.3f} ms | '
               f'fused {t_f * 1e3:7.3f} ms')
