@@ -36,6 +36,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from train import init_multihost
+    init_multihost()
     import jax
 
     from gga_tpu.config import Config

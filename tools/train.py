@@ -37,8 +37,23 @@ def parse_args():
     return p.parse_args()
 
 
+def init_multihost():
+    """Wire jax.distributed from the launcher env (COORD/NPROC/PROC_ID —
+    set per host by tools/dist_*.sh and tools/slurm_*.sh; the reference's
+    init_dist analog, /root/reference/tools/train.py:174). Must run
+    before any jax device use. No-op on a single host."""
+    nproc = int(os.environ.get('NPROC', '1'))
+    if nproc <= 1:
+        return
+    from gga_tpu.parallel.mesh import init_distributed
+    init_distributed(coordinator_address=os.environ.get('COORD'),
+                     num_processes=nproc,
+                     process_id=int(os.environ.get('PROC_ID', '0')))
+
+
 def main():
     args = parse_args()
+    init_multihost()
     import jax
     import numpy as np
 
