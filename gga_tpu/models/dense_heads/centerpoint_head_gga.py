@@ -81,6 +81,12 @@ class GGAHeadConfig:
     # (measured: yaw p90 0.55 rad with PAL+dim-prior while the stage-1
     # yaw itself scores 86.8 AP on the synthetic loop).
     loss_yaw_prior_weight: float = 0.0
+    # Optional cluster-containment residual (TPU-delta, default OFF =
+    # parity): one-way relu penalty on points outside the predicted BEV
+    # box (rotated frame). Counters PAL's width shrinkage (the min-edge
+    # term never pushes an occluded far edge OUT) without the dim
+    # prior's bias toward the class mean — see _pal_distances.
+    loss_containment_weight: float = 0.0
 
     @property
     def feature_map_size(self):
@@ -260,8 +266,18 @@ def _pal_distances(pred_box_bev, ibp_xy, ibp_valid):
     dx = jax.nn.relu(p2c_x - 2 * half_l[..., None])
     dy = jax.nn.relu(p2c_y - 2 * half_h[..., None])
 
+    # Cluster-containment residual (TPU-delta, opt-in): how far each
+    # point sticks OUT of the predicted box, per rotated axis. PAL's
+    # min-edge term has no outward force on an occluded far edge (LiDAR
+    # sees near faces only), which is the measured width-shrinkage
+    # failure (ACCURACY.md: width med -0.40 m); containment restores a
+    # one-way "box must cover the cluster" force without pushing growth.
+    out_x = jax.nn.relu(p2c_x - half_l[..., None])
+    out_y = jax.nn.relu(p2c_y - half_h[..., None])
+
     m = ibp_valid.astype(all_dis.dtype)
-    return ((all_dis * m).sum(-1), (dx * m).sum(-1), (dy * m).sum(-1))
+    return ((all_dis * m).sum(-1), (dx * m).sum(-1), (dy * m).sum(-1),
+            ((out_x + out_y) * m).sum(-1))
 
 
 def _l1(pred, target, weight, avg_factor, loss_weight):
@@ -301,12 +317,16 @@ def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
             tt['anno_box']).astype(jnp.float32) * cw
 
         # PAL (logged; excluded from total by default — reference quirk)
-        p2c_min, p2c_x, p2c_y = _pal_distances(
+        p2c_min, p2c_x, p2c_y, p2c_out = _pal_distances(
             pred_box_bev, ibp_xy, ibp_valid)
         w_pal = bbox_w[..., 0]
         loss_pal = _l1(p2c_min, 0.0, w_pal, avg, cfg.l1_loss_weight)
         loss_palx = _l1(p2c_x, 0.0, w_pal, avg, cfg.l1_loss_weight)
         loss_paly = _l1(p2c_y, 0.0, w_pal, avg, cfg.l1_loss_weight)
+        if cfg.loss_containment_weight > 0.0:
+            loss_cont = _l1(p2c_out, 0.0, w_pal, avg, cfg.l1_loss_weight)
+            logs[f'task{t}.loss_containment'] = (
+                loss_cont * cfg.loss_containment_weight)
 
         # SRL
         ratio_w = pred_ratio.min(axis=-1)
@@ -350,6 +370,8 @@ def loss(cfg: GGAHeadConfig, preds, targets, ibp_xy, ibp_valid):
             total = total + logs[f'task{t}.loss_dim_prior']
         if f'task{t}.loss_yaw_prior' in logs:
             total = total + logs[f'task{t}.loss_yaw_prior']
+        if f'task{t}.loss_containment' in logs:
+            total = total + logs[f'task{t}.loss_containment']
         if cfg.pal_in_total_loss:
             total = (total + logs[f'task{t}.distancemin']
                      + logs[f'task{t}.distancex']

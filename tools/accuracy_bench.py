@@ -235,6 +235,12 @@ def main():
                          'yaw). PAL is otherwise the only yaw signal '
                          'and has corner local minima (yaw p90 0.55 '
                          'rad measured). Documented delta.')
+    ap.add_argument('--containment', type=float, default=0.0,
+                    help='weight for the cluster-containment residual '
+                         '(one-way relu on points outside the predicted '
+                         'BEV box). Anti-shrinkage force with no class-'
+                         'mean bias, unlike --dim-prior. Documented '
+                         'delta.')
     ap.add_argument('--budget-scale', type=float, default=1.0,
                     help='scale the sparse voxel/stage budgets of the '
                          'model cfg (<1 forces coordinate-order '
@@ -282,7 +288,8 @@ def main():
             encoder_budgets=tuple(max(256, int(b * s))
                                   for b in cfg.encoder_budgets),
             encoder_out_budget=max(256, int(cfg.encoder_out_budget * s)))
-    if args.pal or args.dim_prior > 0.0 or args.yaw_prior > 0.0:
+    if (args.pal or args.dim_prior > 0.0 or args.yaw_prior > 0.0
+            or args.containment > 0.0):
         import dataclasses
         head_kw = {}
         if args.pal:
@@ -292,6 +299,8 @@ def main():
             head_kw['loss_dim_prior_weight'] = args.dim_prior
         if args.yaw_prior > 0.0:
             head_kw['loss_yaw_prior_weight'] = args.yaw_prior
+        if args.containment > 0.0:
+            head_kw['loss_containment_weight'] = args.containment
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, **head_kw))
     model = GGADetector(cfg)
