@@ -1,0 +1,82 @@
+"""Round-trip test of the torch<->flax VoteNet checkpoint mapping.
+
+No reference checkpoint ships in this offline image, so the importer is
+validated by the inverse property: exporting flax variables to the
+mmdet3d key/layout convention and importing them back must reproduce the
+tree exactly, and the imported tree must drive a real forward pass.
+The export side doubles as a key-name contract — it enumerates exactly
+the state_dict keys a released reference VoteNet checkpoint carries
+(convert_votenet_checkpoints.py RENAME_PREFIX targets).
+"""
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2] / 'tools'))
+
+from model_converters.torch2flax import (export_votenet,  # noqa: E402
+                                         import_votenet)
+
+
+def _tiny_votenet():
+    from gga_tpu.models.detectors.votenet import VoteNet, VoteNetConfig
+    cfg = VoteNetConfig.tiny()
+    model = VoteNet(cfg)
+    pts = np.random.RandomState(0).randn(1, 256, 4).astype(np.float32)
+    valid = np.ones((1, 256), bool)
+    variables = model.init(jax.random.PRNGKey(0), pts, valid,
+                           train=False)
+    return cfg, model, variables, pts, valid
+
+
+def test_votenet_roundtrip_exact():
+    cfg, model, variables, pts, valid = _tiny_votenet()
+    sd = export_votenet(variables, cfg)
+
+    # every key follows the reference naming convention
+    for k in sd:
+        assert k.startswith(('backbone.SA_modules.',
+                             'backbone.FP_modules.',
+                             'bbox_head.vote_module.',
+                             'bbox_head.vote_aggregation.',
+                             'bbox_head.conv_pred.')), k
+    # conv weights carry the torch layout (O, I, 1[, 1])
+    w_sa = sd['backbone.SA_modules.0.mlps.0.layer0.conv.weight']
+    assert w_sa.ndim == 4 and w_sa.shape[2:] == (1, 1)
+    w_cls = sd['bbox_head.conv_pred.conv_cls.weight']
+    assert w_cls.shape[0] == 2 + cfg.head.num_classes
+
+    back = import_votenet(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_votenet_imported_forward_runs():
+    cfg, model, variables, pts, valid = _tiny_votenet()
+    back = import_votenet(export_votenet(variables, cfg), cfg)
+    out_a = model.apply(variables, pts, valid, train=False)
+    out_b = model.apply(back, pts, valid, train=False)
+    la, lb = jax.tree_util.tree_leaves(out_a), jax.tree_util.tree_leaves(
+        out_b)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+
+def test_votenet_import_rejects_missing_keys():
+    cfg, model, variables, *_ = _tiny_votenet()
+    sd = export_votenet(variables, cfg)
+    sd.pop('bbox_head.vote_module.conv_out.weight')
+    try:
+        import_votenet(sd, cfg)
+    except KeyError as e:
+        assert 'conv_out' in str(e)
+    else:
+        raise AssertionError('expected KeyError on missing torch key')

@@ -1,0 +1,250 @@
+"""Import mmdet3d-format torch checkpoints into gga_tpu flax variables.
+
+Counterpart of the reference's model_converters family
+(/root/reference/tools/model_converters/convert_votenet_checkpoints.py:1,
+convert_h3dnet_checkpoints.py:1, regnet2mmdet.py:1) with the opposite
+direction of travel: instead of upgrading old torch checkpoints to new
+torch checkpoints, this maps a released reference ``state_dict`` (modern
+post-v0.6 key layout) onto this repo's flax parameter/batch-stats trees,
+so reference-trained weights can drive decode-parity checks on TPU.
+
+Layout conversions applied per tensor:
+  - 1x1 Conv1d/Conv2d ``weight`` [O, I, 1(,1)]     -> Dense kernel [I, O]
+  - BatchNorm ``weight``/``bias``                  -> bn ``scale``/``bias``
+  - BatchNorm ``running_mean``/``running_var``     -> batch_stats mean/var
+  - ``num_batches_tracked``                        -> dropped
+  - split cls/reg prediction convs                 -> fused ``pred_out``
+    (this repo predicts one fused vector per proposal and slices it;
+    the reference splits the same channels across conv_cls/conv_reg —
+    see vote_head.py:114 here vs the reference's BaseConvBboxHead)
+
+No reference checkpoint ships in this offline image, so validation is a
+round-trip property test: ``export_state_dict`` emits a torch-layout
+dict from flax variables via the SAME rule table run backwards, and
+``tests/test_tools/test_torch2flax.py`` asserts
+``import(export(v)) == v`` exactly plus a live forward pass. The rule
+table itself is derived from the reference module tree (SA_modules /
+FP_modules / vote_module / vote_aggregation / conv_pred naming —
+point_sa_module.py:290, point_fp_module.py:30, vote_module.py:80,
+base_conv_bbox_head.py:54).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
+def _np(x):
+    """torch tensor / array-like -> float32 numpy (no torch import
+    needed unless the input is a torch tensor)."""
+    if hasattr(x, 'detach'):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+# A rule is (torch_prefix, collection, flax_path_prefix). Each rule
+# expands to the concrete tensor moves below.
+_CONV_BN_MOVES = (
+    # (torch_suffix, collection, flax_suffix, transform)
+    ('conv.weight', 'params', 'kernel', 'conv1x1'),
+    ('bn.weight', 'params', 'scale', 'copy'),
+    ('bn.bias', 'params', 'bias', 'copy'),
+    ('bn.running_mean', 'batch_stats', 'mean', 'copy'),
+    ('bn.running_var', 'batch_stats', 'var', 'copy'),
+)
+
+
+def _fwd_transform(name, x):
+    x = _np(x)
+    if name == 'conv1x1':           # [O, I, 1(,1)] -> [I, O]
+        return x.reshape(x.shape[0], x.shape[1]).T
+    return x
+
+
+def _bwd_transform(name, x):
+    x = _np(x)
+    if name == 'conv1x1':           # [I, O] -> [O, I, 1]
+        return x.T[..., None]
+    return x
+
+
+def votenet_rules(cfg):
+    """Yield (torch_key, collection, flax_path, transform) for VoteNet.
+
+    ``flax_path`` is a '/'-joined path inside the collection. Fused
+    pred_out entries are handled separately by (im|ex)port_votenet.
+    """
+    rules = []
+
+    def conv_bn(torch_prefix, flax_prefix, k, child='layer{k}'):
+        # SA/FP mlps and conv_pred.shared_convs name children
+        # 'layer{k}' (add_module in the reference); vote_module's
+        # vote_conv is a bare nn.Sequential -> numeric child names.
+        ck = child.format(k=k)
+        for tsuf, coll, fsuf, tr in _CONV_BN_MOVES:
+            rules.append((f'{torch_prefix}.{ck}.{tsuf}', coll,
+                          f'{flax_prefix}/fc{k}|bn{k}/{fsuf}', tr))
+
+    bb = 'PointNet2SASSG_0'
+    for i, chans in enumerate(cfg.sa_channels):
+        for k in range(len(chans)):
+            conv_bn(f'backbone.SA_modules.{i}.mlps.0',
+                    f'{bb}/sa{i}/SharedMLP_0', k)
+    for i, chans in enumerate(cfg.fp_channels):
+        for k in range(len(chans)):
+            conv_bn(f'backbone.FP_modules.{i}.mlps',
+                    f'{bb}/fp{i}/SharedMLP_0', k)
+
+    hd = 'VoteHead_0'
+    for k in range(len(cfg.head.vote_conv_channels)):
+        conv_bn('bbox_head.vote_module.vote_conv',
+                f'{hd}/vote_mlp', k, child='{k}')
+    rules.append(('bbox_head.vote_module.conv_out.weight', 'params',
+                  f'{hd}/vote_out/kernel', 'conv1x1'))
+    rules.append(('bbox_head.vote_module.conv_out.bias', 'params',
+                  f'{hd}/vote_out/bias', 'copy'))
+    for k in range(len(cfg.head.agg_mlp)):
+        conv_bn('bbox_head.vote_aggregation.mlps.0',
+                f'{hd}/vote_aggregation/SharedMLP_0', k)
+    for k in range(len(cfg.head.pred_conv_channels)):
+        conv_bn('bbox_head.conv_pred.shared_convs',
+                f'{hd}/pred_shared', k)
+
+    # resolve the fc|bn placeholder: kernel goes under fc{k},
+    # scale/bias/mean/var under bn{k}
+    out = []
+    for tk, coll, fp, tr in rules:
+        if '|' in fp:
+            head_, rest = fp.rsplit('/', 1)
+            fc_bn = head_.rsplit('/', 1)[-1]
+            fc, bn = fc_bn.split('|')
+            base = head_.rsplit('/', 1)[0]
+            fp = f'{base}/{fc if rest == "kernel" else bn}/{rest}'
+        out.append((tk, coll, fp, tr))
+    return out
+
+
+def _votenet_pred_slices(cfg):
+    """Column layout of the fused pred_out vs the reference's split
+    conv_cls/conv_reg (field order verified against the reference's
+    PartialBinBasedBBoxCoder.split_pred)."""
+    h = cfg.head
+    b, s, c = h.num_dir_bins, h.num_sizes, h.num_classes
+    n_reg = 3 + 2 * b + 4 * s
+    # ours: [obj 2 | center 3 | dirc b | dirr b | sizec s | sizer 3s | sem c]
+    return dict(n_cls=2 + c, n_reg=n_reg,
+                obj=slice(0, 2), reg=slice(2, 2 + n_reg),
+                sem=slice(2 + n_reg, 2 + n_reg + c))
+
+
+def import_votenet(state_dict, cfg):
+    """mmdet3d VoteNet state_dict -> {'params':..., 'batch_stats':...}."""
+    from flax.traverse_util import unflatten_dict
+
+    flat = {'params': {}, 'batch_stats': {}}
+    used = set()
+    for tk, coll, fp, tr in votenet_rules(cfg):
+        if tk not in state_dict:
+            raise KeyError(f'missing torch key: {tk}')
+        flat[coll][tuple(fp.split('/'))] = _fwd_transform(
+            tr, state_dict[tk])
+        used.add(tk)
+
+    # fused prediction head
+    sl = _votenet_pred_slices(cfg)
+    wc = _fwd_transform('conv1x1',
+                        state_dict['bbox_head.conv_pred.conv_cls.weight'])
+    wr = _fwd_transform('conv1x1',
+                        state_dict['bbox_head.conv_pred.conv_reg.weight'])
+    bc = _np(state_dict['bbox_head.conv_pred.conv_cls.bias'])
+    br = _np(state_dict['bbox_head.conv_pred.conv_reg.bias'])
+    n_out = sl['n_cls'] + sl['n_reg']
+    kernel = np.zeros((wc.shape[0], n_out), wc.dtype)
+    bias = np.zeros((n_out,), bc.dtype)
+    kernel[:, sl['obj']], bias[sl['obj']] = wc[:, :2], bc[:2]
+    kernel[:, sl['sem']], bias[sl['sem']] = wc[:, 2:], bc[2:]
+    kernel[:, sl['reg']], bias[sl['reg']] = wr, br
+    hd = ('VoteHead_0', 'pred_out')
+    flat['params'][hd + ('kernel',)] = kernel
+    flat['params'][hd + ('bias',)] = bias
+
+    unused = [k for k in state_dict
+              if k not in used and 'num_batches_tracked' not in k
+              and not k.startswith('bbox_head.conv_pred.conv_')]
+    if unused:
+        raise KeyError(f'unmapped torch keys: {unused[:8]}')
+    return {c: unflatten_dict(d) for c, d in flat.items()}
+
+
+def export_votenet(variables, cfg):
+    """flax variables -> mmdet3d-layout state_dict (inverse mapping,
+    used by the round-trip test and to hand weights back to the
+    reference stack)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {c: {'/'.join(k): v for k, v in flatten_dict(d).items()}
+            for c, d in variables.items()}
+    out = {}
+    for tk, coll, fp, tr in votenet_rules(cfg):
+        out[tk] = _bwd_transform(tr, flat[coll][fp])
+        if tr == 'conv1x1' and 'SA_modules' in tk:
+            out[tk] = out[tk][..., None]     # Conv2d kernel [O, I, 1, 1]
+
+    sl = _votenet_pred_slices(cfg)
+    kernel = np.asarray(flat['params']['VoteHead_0/pred_out/kernel'])
+    bias = np.asarray(flat['params']['VoteHead_0/pred_out/bias'])
+    wc = np.concatenate([kernel[:, sl['obj']], kernel[:, sl['sem']]], 1)
+    bc = np.concatenate([bias[sl['obj']], bias[sl['sem']]])
+    out['bbox_head.conv_pred.conv_cls.weight'] = wc.T[..., None]
+    out['bbox_head.conv_pred.conv_cls.bias'] = bc
+    out['bbox_head.conv_pred.conv_reg.weight'] = \
+        kernel[:, sl['reg']].T[..., None]
+    out['bbox_head.conv_pred.conv_reg.bias'] = bias[sl['reg']]
+    return out
+
+
+FAMILIES = {'votenet': (import_votenet, export_votenet)}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('checkpoint', help='.pth (torch.load-able) or .pkl '
+                    'holding a state_dict or {"state_dict": ...}')
+    ap.add_argument('--family', default='votenet', choices=FAMILIES)
+    ap.add_argument('--out', required=True,
+                    help='output .pkl of flax variables')
+    args = ap.parse_args()
+
+    if args.checkpoint.endswith('.pkl'):
+        with open(args.checkpoint, 'rb') as f:
+            ckpt = pickle.load(f)
+    else:
+        import torch
+        ckpt = torch.load(args.checkpoint, map_location='cpu')
+    sd = ckpt.get('state_dict', ckpt)
+
+    if args.family == 'votenet':
+        from gga_tpu.models.detectors.votenet import VoteNetConfig
+        cfg = VoteNetConfig()
+    variables = FAMILIES[args.family][0](sd, cfg)
+    with open(args.out, 'wb') as f:
+        pickle.dump(variables, f)
+    n = sum(np.asarray(v).size for c in variables.values()
+            for v in _flatten_leaves(c))
+    print(f'wrote {args.out}: {n} parameters')
+
+
+def _flatten_leaves(tree):
+    from flax.traverse_util import flatten_dict
+    return flatten_dict(tree).values()
+
+
+if __name__ == '__main__':
+    main()
