@@ -241,8 +241,8 @@ class SubMConv3dMapped(nn.Module):
                 anchor, sel, w)
             return out.reshape(B, N, self.out_channels)
         nmap_flat, hit_flat = flatten_nmap(nmap, hit)
-        if (sp.WINDOW_CONV and sp._wg_ok(C)
-                and sp._wg_ok(self.out_channels)):
+        if (sp.WINDOW_CONV and sp._wc_ok(C)
+                and sp._wc_ok(self.out_channels)):
             out = sp.subm_conv_window(
                 feats.reshape(B * N, C), valid.reshape(B * N),
                 nmap_flat, hit_flat, w)

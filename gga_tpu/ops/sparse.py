@@ -627,6 +627,18 @@ subm_conv_with_map.defvjp(_subm_fwd, _subm_bwd)
 # path per-call on span overflow).
 WINDOW_CONV = os.environ.get('GGA_WINDOW_CONV', '0') == '1'
 
+# Per-stage A/B cap: GGA_WINDOW_CONV_CMAX=32 enables the fused kernel
+# only for C<=32 convs (encoder stages 0-1, isolated fwd+bwd win
+# 1.44-1.71x) while C=64 (stage2, ~parity isolated) stays on the einsum
+# path.
+WINDOW_CONV_CMAX = int(os.environ.get('GGA_WINDOW_CONV_CMAX', '127'))
+
+
+def _wc_ok(c):
+    """Channel gate for the fused window conv: window-gather
+    preconditions plus the per-stage A/B cap."""
+    return _wg_ok(c) and c <= WINDOW_CONV_CMAX
+
 
 def _window_conv_apply(features, nmap, hit, weights):
     """cond(overflow, einsum path, fused kernel): [Q, D]."""
