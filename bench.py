@@ -133,19 +133,85 @@ def main():
             return losses
         return run
 
-    times = {}
-    for k in (1, K):
-        f = k_steps(k)
-        jax.block_until_ready(f(state))  # compile + warm
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            out = f(state)
-        jax.block_until_ready(out)
-        times[k] = (time.perf_counter() - t0) / reps
+    def median_time(fn, *a, reps=3):
+        """Median of per-rep wall times, each rep fully blocked.
 
-    dt = max((times[K] - times[1]) / (K - 1), 1e-6)  # marginal step time
+        The relay occasionally returns one launch anomalously fast
+        (CLAUDE.md timing trap); a median over individually-blocked
+        reps is robust to a single such glitch where a pipelined
+        total/reps average is not.
+        """
+        jax.block_until_ready(fn(*a))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    def sane_slope(time_of_k, n_per_step, max_rate, attempts=3):
+        """K-vs-1 scan slope with a sanity-bounded retry.
+
+        If a glitched measurement implies a physically impossible rate
+        (> max_rate items/s) or a non-positive slope, re-measure; as a
+        last resort fall back to the amortized K-step program time,
+        which upper-bounds the true marginal step time.
+        """
+        tK = None
+        for _ in range(attempts):
+            t1 = time_of_k(1)
+            tK = time_of_k(K)
+            dt = (tK - t1) / (K - 1)
+            if dt > 0 and n_per_step / dt <= max_rate:
+                return dt
+        return max(tK / K, 1e-6)
+
+    dt = sane_slope(lambda k: median_time(k_steps(k), state),
+                    B, max_rate=500.0)  # marginal step time
     scenes_per_sec = B / dt
+
+    # --- second metric: stage-3 pseudo-label-gen throughput ---------
+    # BASELINE.json's north-star metric is train + pseudo-gen; this is
+    # the inference half: full-size forward + CenterPoint decode +
+    # rotated NMS per batch, the device part of the reference's stage-3
+    # loop (/root/reference/tools/generate_pseudo_labels_gga.py:133-264;
+    # the host-side 2D matching runs offline afterwards in both stacks).
+    from gga_tpu.models.detectors.centerpoint_gga import decode_detections
+
+    infer_keys = ('points', 'points_valid')
+
+    def itime_of_k(k):
+        xs = {key: stacked[key][:k] for key in infer_keys}
+
+        @jax.jit
+        def irun(s, xs):
+            def body(carry, b):
+                preds = s.apply_fn(
+                    {'params': s.params, 'batch_stats': s.batch_stats},
+                    b['points'], b['points_valid'], train=False)
+                dets = decode_detections(cfg, preds)
+                fold = sum(jnp.sum(v).astype(jnp.float32)
+                           for v in jax.tree_util.tree_leaves(dets))
+                return carry + fold * 1e-12, ()
+            c, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+            return c
+        return median_time(irun, state, xs)
+
+    dti = sane_slope(itime_of_k, B, max_rate=2000.0)
+    infer_sps = B / dti
+
+    # No published reference number exists for the stage-3 loop
+    # (BASELINE.json "published" is empty); 20 scenes/s/V100 is the
+    # documented estimate: 4x the 5/s train rate, the typical
+    # fwd-only : fwd+bwd+opt ratio for SECOND-class models.
+    print(json.dumps({
+        'metric': 'gga_pseudo_label_gen_scenes_per_sec_per_chip',
+        'value': round(infer_sps, 2),
+        'unit': 'scenes/s',
+        'vs_baseline': round(infer_sps / 20.0, 2),
+    }))
+
     baseline = 5.0  # reference scenes/s per V100 (SECOND, benchmarks.md)
     print(json.dumps({
         'metric': 'gga_weak_train_scenes_per_sec_per_chip',
