@@ -107,7 +107,7 @@ def main():
 
         def conv(ff, ww):
             from gga_tpu.models import layers as L  # noqa: F401
-            if (sp.WINDOW_CONV and sp._wg_ok(c)):
+            if (sp.WINDOW_CONV and sp._wc_ok(c)):
                 return sp.subm_conv_window(ff, vflat, nmap, hit, ww)
             return sp.subm_conv_with_map(ff, vflat, nmap, hit, ww)
 
@@ -174,25 +174,45 @@ def main():
               f'{1e3 * (t_df - t_f):6.3f}) | block bwd '
               f'{1e3 * (t_blkb - t_blkf):7.3f} ms')
 
-        # strided conv (stage -> next) fwd / fwd+bwd, via the batched
-        # path the model uses (vmapped rulebook + flat conv)
+        # strided conv (stage -> next) fwd / fwd+bwd, via the EXACT
+        # batched path the model uses: vmapped rulebook construction +
+        # FLAT gather+GEMM conv (models/layers.py SparseConv3d) — a
+        # vmapped conv would overstate the gather cost ~4x.
         if si < 3:
             n2, c2, _ = STAGES[si + 1]
 
-            def mk_st(cc, vv, ff):
-                return sp.SparseTensor(ff, cc, vv, tuple(grid))
+            from gga_tpu.models.layers import flatten_rulebook
             wd = jnp.asarray(
                 rng.randn(27, c, c2).astype(np.float32) * 0.1, dt)
             fB = feats.reshape(B, n, c)
 
             def strided(ffB, ww):
-                def one(cc, vv, ff):
-                    st = mk_st(cc, vv, ff)
-                    o = sp.sparse_conv_fast(st, ww, (3, 3, 3), (2, 2, 2),
-                                            (1, 1, 1), n2)
-                    return o.features
-                return jax.vmap(one, in_axes=(0, 0, 0))(coords, valid,
-                                                        ffB)
+                def one(cc, vv):
+                    st = sp.SparseTensor(
+                        jnp.zeros((cc.shape[0], 1), jnp.float32), cc, vv,
+                        tuple(grid))
+                    return sp.downsample_rulebook(
+                        st, (3, 3, 3), (2, 2, 2), (1, 1, 1), n2)
+                _, ov, _, fm, bm = jax.vmap(
+                    one, out_axes=(0, 0, None, 0, 0))(coords, valid)
+                fm_flat, bm_flat = flatten_rulebook(fm, bm, n)
+                of = sp.rulebook_conv(ffB.reshape(B * n, c), ww,
+                                      fm_flat, bm_flat,
+                                      ov.reshape(B * n2))
+                return of.reshape(B, n2, c2)
+
+            def rb_only(ffB):
+                def one(cc, vv):
+                    st = sp.SparseTensor(
+                        jnp.zeros((cc.shape[0], 1), jnp.float32), cc, vv,
+                        tuple(grid))
+                    return sp.downsample_rulebook(
+                        st, (3, 3, 3), (2, 2, 2), (1, 1, 1), n2)
+                _, ov, _, fm, bm = jax.vmap(
+                    one, out_axes=(0, 0, None, 0, 0))(coords, valid)
+                return (ffB + (jnp.sum(fm) + jnp.sum(bm)
+                               + jnp.sum(ov)).astype(dt) * 1e-12)
+            timed(f'S{si} strided rulebook-only', rb_only, fB)
 
             def f_sf(ffB, ww):
                 return ffB + fb(strided(ffB, ww))
