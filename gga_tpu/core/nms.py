@@ -94,6 +94,40 @@ def circle_nms(centers, scores, min_radius, post_max_size=None, valid=None):
     return out, keep
 
 
+def iou_2d(a, b):
+    """Pairwise axis-aligned 2D IoU. a: [N, 4], b: [M, 4] (x1,y1,x2,y2)."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(
+        a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(
+        b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    inter = jnp.prod(jnp.maximum(rb - lt, 0.0), -1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-8)
+
+
+def nms_2d(boxes, scores, thresh, post_max_size=None, valid=None):
+    """Axis-aligned 2D NMS (the mmcv ``nms`` op consumed by the
+    reference's nuImages RPN/RCNN test cfgs,
+    configs/_base_/models/mask_rcnn_r50_fpn.py:94). Same static greedy
+    contract as :func:`nms_bev`.
+
+    Returns:
+        (indices [post_max_size] int32 padded with -1, keep mask [N]).
+    """
+    n = boxes.shape[0]
+    if post_max_size is None:
+        post_max_size = n
+    s = jnp.where(valid, scores, -jnp.inf) if valid is not None else scores
+    keep = _greedy_suppress(iou_2d(boxes, boxes), s, thresh)
+    ranked = jnp.argsort(jnp.where(keep, -s, jnp.inf))
+    kcount = keep.sum()
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    out = jnp.where(idx < kcount, ranked, -1)[:post_max_size]
+    return out, keep
+
+
 def aligned_3d_nms(boxes, scores, classes, thresh, valid=None):
     """Axis-aligned 3D NMS (box3d_nms.aligned_3d_nms, box3d_nms.py:131),
     class-aware: cross-class IoU forced to 0.

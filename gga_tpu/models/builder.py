@@ -31,6 +31,7 @@ from .detectors.imvotenet import ImVoteNet, ImVoteNetConfig
 from .detectors.imvoxelnet import (ImVoxelNet, ImVoxelNetConfig,
                                    ImVoxelNetIndoor,
                                    ImVoxelNetIndoorConfig)
+from .detectors.mask_rcnn import MaskRCNN, MaskRCNNConfig
 from .detectors.monoflex import MonoFlexDetector, MonoFlexModelConfig
 from .detectors.mvxnet import MVXNet, MVXNetConfig
 from .detectors.parta2 import PartA2Config, PartA2Detector
@@ -124,6 +125,7 @@ _register_family('PartA2Detector', PartA2Config, PartA2Detector)
 _register_family('PointRCNNDetector', PointRCNNConfig, PointRCNNDetector)
 _register_family('SSD3DNet', SSD3DNetConfig, SSD3DNet)
 _register_family('MonoFlexDetector', MonoFlexModelConfig, MonoFlexDetector)
+_register_family('MaskRCNN', MaskRCNNConfig, MaskRCNN)
 _register_family('CenterPointDetector', CenterPointConfig, CenterPointDetector)
 _register_family('ImVoteNet', ImVoteNetConfig, ImVoteNet)
 _register_family('GroupFree3DNet', GroupFree3DNetConfig, GroupFree3DNet)
