@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import sparse as sp
-from ..layers import MaskedBatchNorm, conv_init, flatten_nmap, \
-    flatten_rulebook
+from ..layers import MaskedBatchNorm, conv_init, flatten_nmap
 
 ARCH = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
 
@@ -93,16 +92,9 @@ class MinkBasicBlock(nn.Module):
             oc, ov, og = coords, valid, grid
             identity = feats
         else:
-            def rb(c, v):
-                st = sp.SparseTensor(
-                    jnp.zeros((c.shape[0], 1), jnp.float32), c, v,
-                    tuple(grid))
-                return sp.downsample_rulebook(st, (3, 3, 3), (2, 2, 2),
-                                              (1, 1, 1), self.out_budget)
-
-            oc, ov, og, fm, bm = jax.vmap(
-                rb, out_axes=(0, 0, None, 0, 0))(coords, valid)
-            fm_f, bm_f = flatten_rulebook(fm, bm, N)
+            oc, ov, og, fm_f, bm_f = sp.downsample_rulebook_batched(
+                coords, valid, tuple(grid), (3, 3, 3), (2, 2, 2),
+                (1, 1, 1), self.out_budget)
             M = self.out_budget
             x = sp.rulebook_conv(
                 feats.reshape(B * N, cin), w1, fm_f, bm_f,
@@ -159,15 +151,9 @@ class MinkResNet(nn.Module):
                         (27, self.in_channels, self.base_planes))
         B, N, _ = feats.shape
 
-        def rb0(c, v):
-            st = sp.SparseTensor(jnp.zeros((c.shape[0], 1), jnp.float32),
-                                 c, v, tuple(grid))
-            return sp.downsample_rulebook(st, (3, 3, 3), (2, 2, 2),
-                                          (1, 1, 1), self.budgets[0])
-
-        c0, v0, g, fm, bm = jax.vmap(
-            rb0, out_axes=(0, 0, None, 0, 0))(coords, valid)
-        fm_f, bm_f = flatten_rulebook(fm, bm, N)
+        c0, v0, g, fm_f, bm_f = sp.downsample_rulebook_batched(
+            coords, valid, tuple(grid), (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            self.budgets[0])
         f = sp.rulebook_conv(
             feats.reshape(B * N, self.in_channels), w0, fm_f, bm_f,
             v0.reshape(-1)).reshape(B, self.budgets[0], self.base_planes)

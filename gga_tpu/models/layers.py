@@ -160,21 +160,23 @@ class SparseConv3d(nn.Module):
         b = (self.param('bias', nn.initializers.zeros, (self.out_channels,))
              if self.use_bias else None)
 
-        def one(c, v):
-            st = sp.SparseTensor(
-                features=jnp.zeros((c.shape[0], 1), jnp.float32),
-                coords=c, valid=v, grid=tuple(grid))
-            return sp.downsample_rulebook(
-                st, self.kernel_size, self.stride, self.padding,
-                self.out_budget)
-
-        oc, ov, out_grid, fm, bm = jax.vmap(
-            one, out_axes=(0, 0, None, 0, 0))(coords, valid)
         B, N, C = feats.shape
         M = self.out_budget
-        fm_flat, bm_flat = flatten_rulebook(fm, bm, N)
-        of = sp.rulebook_conv(feats.reshape(B * N, C), w, fm_flat,
-                              bm_flat, ov.reshape(B * M))
+        if sp.RB_COMPACT_BWD:
+            oc, ov, out_grid, fm_flat, bwd_d, parity = \
+                sp.downsample_rulebook_compact(
+                    coords, valid, tuple(grid), self.kernel_size,
+                    self.stride, self.padding, self.out_budget)
+            of = sp.rulebook_conv_compact(
+                feats.reshape(B * N, C), w, fm_flat, bwd_d, parity,
+                ov.reshape(B * M), self.kernel_size, self.stride)
+        else:
+            oc, ov, out_grid, fm_flat, bm_flat = \
+                sp.downsample_rulebook_batched(
+                    coords, valid, tuple(grid), self.kernel_size,
+                    self.stride, self.padding, self.out_budget)
+            of = sp.rulebook_conv(feats.reshape(B * N, C), w, fm_flat,
+                                  bm_flat, ov.reshape(B * M))
         of = of.reshape(B, M, self.out_channels)
         if b is not None:
             of = of + b

@@ -18,7 +18,7 @@ import numpy as np
 from ..ops import sparse as sp
 from ..ops.scatter import pillar_scatter
 from .layers import (MaskedBatchNorm, SparseBasicBlock, SparseConvBlock,
-                     SubMConv3dMapped, conv_init, flatten_rulebook)
+                     SubMConv3dMapped, conv_init)
 
 
 class SparseEncoder(nn.Module):
@@ -244,25 +244,17 @@ class SparseUNet(nn.Module):
         decoder's inverse conv can reuse it."""
         K = 27
         w = self.param(name, conv_init, (K, x.shape[-1], out_ch))
-
-        def one(cc, vv):
-            st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
-                                 cc, vv, tuple(g))
-            return sp.downsample_rulebook(st, (3, 3, 3), (2, 2, 2),
-                                          tuple(pad) if isinstance(
-                                              pad, (tuple, list))
-                                          else (pad,) * 3, budget)
-
-        oc, ov, og, fm, bm = jax.vmap(one, out_axes=(0, 0, None, 0, 0))(
-            c, v)
         B, N, C = x.shape
+        oc, ov, og, fm_flat, bm_flat = sp.downsample_rulebook_batched(
+            c, v, tuple(g), (3, 3, 3), (2, 2, 2),
+            tuple(pad) if isinstance(pad, (tuple, list)) else (pad,) * 3,
+            budget)
         M = ov.shape[-1]
-        fm_flat, bm_flat = flatten_rulebook(fm, bm, N)
         x = sp.rulebook_conv(x.reshape(B * N, C), w, fm_flat, bm_flat,
                              ov.reshape(B * M)).reshape(B, M, out_ch)
         x = MaskedBatchNorm()(x, ov, train)
         x = nn.relu(x)
-        return x, oc, ov, og, (fm, bm)
+        return x, oc, ov, og, (fm_flat, bm_flat)
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool = True):
@@ -345,7 +337,7 @@ class SparseUNet(nn.Module):
             x = merged + reduced
             if i != 0:
                 # upsample: inverse conv through the downsample's rulebook
-                fm, bm = rulebooks[i]
+                fm_flat, bm_flat = rulebooks[i]
                 _, pv, _ = sets[i - 1]
                 w = self.param(f'inv_{i}', conv_init,
                                (27, x.shape[-1], ch[2]))
@@ -353,8 +345,6 @@ class SparseUNet(nn.Module):
                 # the flat maps swap roles: outputs are the [B*N]
                 # pre-downsample set, inputs the [B*M] downsampled one
                 B, M, C = x.shape
-                fm_flat, bm_flat = flatten_rulebook(fm, bm,
-                                                    bm.shape[-1])
                 x = sp.rulebook_conv(
                     x.reshape(B * M, C), w, bm_flat, fm_flat,
                     pv.reshape(-1)).reshape(B, pv.shape[-1], ch[2])
@@ -368,23 +358,17 @@ class SparseUNet(nn.Module):
         w = self.param('conv_out', conv_init,
                        (3, x.shape[-1], self.output_channels))
 
-        def one(cc, vv):
-            st = sp.SparseTensor(jnp.zeros((cc.shape[0], 1), jnp.float32),
-                                 cc, vv, tuple(g))
-            return sp.downsample_rulebook(st, (3, 1, 1), (2, 1, 1),
-                                          (0, 0, 0), self.out_budget)
-
-        oc, ov, og, fm, bm = jax.vmap(one, out_axes=(0, 0, None, 0, 0))(
-            c, v)
         B, N, C = x.shape
+        oc, ov, og, fm_flat, bm_flat = sp.downsample_rulebook_batched(
+            c, v, tuple(g), (3, 1, 1), (2, 1, 1), (0, 0, 0),
+            self.out_budget)
         M = ov.shape[-1]
-        fm_flat, bm_flat = flatten_rulebook(fm, bm, N)
         x = sp.rulebook_conv(
             x.reshape(B * N, C), w, fm_flat, bm_flat,
             ov.reshape(B * M)).reshape(B, M, self.output_channels)
         x = MaskedBatchNorm()(x, ov, train)
         x = nn.relu(x)
-        return x, oc, ov, og, (fm, bm)
+        return x, oc, ov, og, (fm_flat, bm_flat)
 
 
 class PointPillarsScatter(nn.Module):

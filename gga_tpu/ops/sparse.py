@@ -733,6 +733,289 @@ def _subm_window_bwd(res, dout):
 subm_conv_window.defvjp(_subm_window_fwd, _subm_window_bwd)
 
 
+def _ds_prep(grid, kernel_size, stride, padding, n):
+    """Host-side constants of a strided-conv rulebook: kernel triple,
+    stride/pad arrays, output grid, feasible candidate offsets [D, 3],
+    int32 overflow guards."""
+    ksz = _triple(kernel_size)
+    stride_a = np.asarray(_triple(stride), np.int64)
+    pad_a = np.asarray(_triple(padding), np.int64)
+    nz, ny, nx = grid
+    out_grid = tuple(
+        int((d + 2 * p - k) // s + 1)
+        for d, p, k, s in zip((nz, ny, nx), pad_a, ksz, stride_a))
+    K = int(np.prod(ksz))
+    n_cand = [int(-(-k // s)) for k, s in zip(ksz, stride_a)]
+    ds = np.stack(np.meshgrid(*[np.arange(c) for c in n_cand],
+                              indexing='ij'), -1).reshape(-1, 3)  # [D, 3]
+    big = np.int64(out_grid[0]) * out_grid[1] * out_grid[2]
+    assert big < 2 ** 31 - 1, f'out grid {out_grid} overflows int32'
+    assert n * K < 2 ** 31 - 1
+    return ksz, stride_a, pad_a, out_grid, ds, np.int32(big), K
+
+
+def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K):
+    """Per-scene (input, output-candidate) pair stream of a strided conv,
+    sorted by output linear id: enumerates the <= D feasible candidates
+    per input, sorts the D*N pairs, and derives the dedupe stream.
+
+    Returns (keys [D*N] sorted out-lin ids with ``big`` for infeasible,
+    pay [D*N] = input_row * K + offset_id, newv [D*N] first-pair-of-output
+    flags, slot [D*N] output rank per pair, pair_ok [D*N],
+    lin [D, N] PRE-sort candidate out-lin ids (``big`` where
+    infeasible) for rank-by-merge consumers)."""
+    oz, oy, ox = out_grid
+    cp = coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
+    base_o = cp // jnp.asarray(stride_a, jnp.int32)          # [N, 3]
+    o = base_o[None, :, :] - jnp.asarray(ds, jnp.int32)[:, None, :]
+    off = cp[None, :, :] - o * jnp.asarray(stride_a, jnp.int32)
+    cover = jnp.all((off >= 0) & (off < jnp.asarray(ksz, jnp.int32)),
+                    axis=-1)
+    in_rng = jnp.all(
+        (o >= 0) & (o < jnp.asarray(out_grid, jnp.int32)), axis=-1)
+    ok = cover & in_rng & valid[None, :]
+
+    k_id = (off[..., 0] * (ksz[1] * ksz[2]) + off[..., 1] * ksz[2]
+            + off[..., 2])                                   # [D, N]
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, k_id.shape, 1)
+    payload = i_idx * K + k_id
+    lin = (o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2])
+    lin = jnp.where(ok, lin, big)
+    keys, pay = jax.lax.sort((lin.reshape(-1), payload.reshape(-1)),
+                             num_keys=1)
+    prev = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
+    pair_ok = keys < big
+    newv = (keys != prev) & pair_ok
+    slot = jnp.cumsum(newv.astype(jnp.int32)) - 1            # per pair
+    return keys, pay, newv, slot, pair_ok, lin
+
+
+def downsample_rulebook_batched(coords, valid, grid, kernel_size, stride,
+                                padding, out_budget):
+    """Batched ``downsample_rulebook`` emitting BATCH-FLAT gather maps
+    directly (the ``flatten_rulebook`` layout modules consume).
+
+    The candidate enumeration + pair sort stay vmapped (batched sorts
+    lower fine), but the three ~D*N-update scatters that build the output
+    table and the fwd/bwd maps run FLAT over [B * D * N] updates into
+    flat targets — vmapped scatters, like vmapped gathers
+    (tools/microbench_vmap_gather.py), lower several times slower on TPU
+    than the same updates against a flat operand, and at batch 8 those
+    scatters dominate the strided conv itself
+    (tools/microbench_rulebook.py --b 8).
+
+    Args:
+        coords: [B, N, 3] int32, each scene sorted by linear id.
+        valid: [B, N] bool.
+    Returns:
+        (out_coords [B, M, 3], out_valid [B, M], out_grid,
+         fwd_flat [K, B*M] int32 row map into [B*N] inputs,
+         bwd_flat [K, B*N] int32 row map into [B*M] outputs).
+    """
+    B, N = valid.shape
+    M = out_budget
+    ksz, stride_a, pad_a, out_grid, ds, big, K = _ds_prep(
+        grid, kernel_size, stride, padding, N)
+    keys, pay, newv, slot, pair_ok, _ = jax.vmap(
+        lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid, ds,
+                               big, K))(coords, valid)       # each [B, D*N]
+    slot_ok = pair_ok & (slot >= 0) & (slot < M)
+    b_ix = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
+
+    assert np.int64(K) * B * max(M, N) < 2 ** 31 - 1
+    k_arr = pay % K
+    i_arr = pay // K
+    fidx = jnp.where(slot_ok, k_arr * (B * M) + b_ix * M + slot,
+                     K * B * M).reshape(-1)
+    fwd_flat = jnp.full((K * B * M + 1,), -1, jnp.int32).at[fidx].set(
+        (b_ix * N + i_arr).reshape(-1))[:K * B * M].reshape(K, B * M)
+    bidx = jnp.where(slot_ok, k_arr * (B * N) + b_ix * N + i_arr,
+                     K * B * N).reshape(-1)
+    bwd_flat = jnp.full((K * B * N + 1,), -1, jnp.int32).at[bidx].set(
+        (b_ix * M + slot).reshape(-1))[:K * B * N].reshape(K, B * N)
+
+    # Output coords by GATHER reconstruction instead of a third D*N-update
+    # scatter (TPU scatter is update-rate bound at ~320M/s — the three
+    # scatters were ~85% of the rulebook build): every live output slot
+    # has >=1 link in fwd_flat; pick its first hit offset k and invert
+    # c_out = (c_in + pad - off_k) / stride (exact — off_k covers c_in
+    # by construction).
+    hit = fwd_flat >= 0                                  # [K, B*M]
+    out_valid = hit.any(0)                               # [B*M]
+    first_k = jnp.argmax(hit, axis=0)                    # [B*M]
+    i_m = jnp.take_along_axis(fwd_flat, first_k[None, :], 0)[0]
+    ci = coords.reshape(B * N, 3)[jnp.maximum(i_m, 0)]   # [B*M, 3]
+    off_m = jnp.asarray(_kernel_offsets(ksz), jnp.int32)[first_k]
+    oc = ((ci + jnp.asarray(pad_a, jnp.int32) - off_m)
+          // jnp.asarray(stride_a, jnp.int32))
+    out_coords = jnp.where(out_valid[:, None], oc, -1).reshape(B, M, 3)
+    return (out_coords, out_valid.reshape(B, M), out_grid, fwd_flat,
+            bwd_flat)
+
+
+# Compact backward maps for strided convs: replace the [K, B*N] dense
+# bwd scatter (update-rate bound, ~4.7 ms/stage at batch 8) with a
+# merge-rank lookup producing [D, B*N] maps (D = feasible candidates per
+# input, 8 for k3 s2 — so the conv backward's dout gather shrinks 27N ->
+# 8N rows too). Env-gated pending the full-step A/B (house rule).
+RB_COMPACT_BWD = os.environ.get('GGA_RB_COMPACT_BWD', '0') == '1'
+
+
+def parity_k_table(kernel_size, stride):
+    """Static [P, D] table of kernel-offset ids per (input parity class,
+    candidate): an input at coords c (padded) reaches candidate d via
+    offset off = (c mod s) + d*s, so the offset id depends only on the
+    input's per-dim parity p = c mod s (P = prod(s) classes) and d.
+
+    Returns (k_of [P, D] int32, feasible [P, D] bool) — infeasible
+    (p + d*s >= k) combinations never produce a link; their table entry
+    is 0 and masked."""
+    ksz = _triple(kernel_size)
+    s = _triple(stride)
+    n_cand = [int(-(-k // st)) for k, st in zip(ksz, s)]
+    ds = np.stack(np.meshgrid(*[np.arange(c) for c in n_cand],
+                              indexing='ij'), -1).reshape(-1, 3)
+    ps = np.stack(np.meshgrid(*[np.arange(c) for c in s],
+                              indexing='ij'), -1).reshape(-1, 3)
+    off = ps[:, None, :] + ds[None, :, :] * np.asarray(s)    # [P, D, 3]
+    feas = (off < np.asarray(ksz)).all(-1)
+    k_of = (off[..., 0] * (ksz[1] * ksz[2]) + off[..., 1] * ksz[2]
+            + off[..., 2])
+    return (np.where(feas, k_of, 0).astype(np.int32), feas)
+
+
+def downsample_rulebook_compact(coords, valid, grid, kernel_size, stride,
+                                padding, out_budget):
+    """``downsample_rulebook_batched`` with a COMPACT backward map.
+
+    Same fwd_flat/out reconstruction, but instead of scattering the
+    [K, B*N] dense backward map it derives bwd_d [D, B*N] (slot of input
+    n's candidate d, -1 miss) by merge-ranking the pre-sort candidate
+    lin ids against the reconstructed output table — two sorts of
+    [D, M+N] per scene instead of a D*N-update scatter. The kernel
+    offset of pair (d, n) is parity-determined (``parity_k_table``), so
+    the conv backward consumes (bwd_d, parity) with per-class weights.
+
+    Returns:
+        (out_coords [B, M, 3], out_valid [B, M], out_grid,
+         fwd_flat [K, B*M], bwd_d [D, B*N] rows into [B*M],
+         parity [B*N] int32 in [0, prod(stride))).
+    """
+    B, N = valid.shape
+    M = out_budget
+    ksz, stride_a, pad_a, out_grid, ds, big, K = _ds_prep(
+        grid, kernel_size, stride, padding, N)
+    keys, pay, newv, slot, pair_ok, lin_dn = jax.vmap(
+        lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid, ds,
+                               big, K))(coords, valid)
+    slot_ok = pair_ok & (slot >= 0) & (slot < M)
+    b_ix = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
+
+    assert np.int64(K) * B * max(M, N) < 2 ** 31 - 1
+    k_arr = pay % K
+    i_arr = pay // K
+    fidx = jnp.where(slot_ok, k_arr * (B * M) + b_ix * M + slot,
+                     K * B * M).reshape(-1)
+    fwd_flat = jnp.full((K * B * M + 1,), -1, jnp.int32).at[fidx].set(
+        (b_ix * N + i_arr).reshape(-1))[:K * B * M].reshape(K, B * M)
+
+    hit = fwd_flat >= 0
+    out_valid = hit.any(0)
+    first_k = jnp.argmax(hit, axis=0)
+    i_m = jnp.take_along_axis(fwd_flat, first_k[None, :], 0)[0]
+    ci = coords.reshape(B * N, 3)[jnp.maximum(i_m, 0)]
+    off_m = jnp.asarray(_kernel_offsets(ksz), jnp.int32)[first_k]
+    oc = ((ci + jnp.asarray(pad_a, jnp.int32) - off_m)
+          // jnp.asarray(stride_a, jnp.int32))
+    out_coords = jnp.where(out_valid[:, None], oc, -1).reshape(B, M, 3)
+    out_valid = out_valid.reshape(B, M)
+
+    # compact bwd: rank every candidate's lin id in the output table
+    oz, oy, ox = out_grid
+    out_lin = jnp.where(
+        out_valid,
+        (out_coords[..., 0] * (oy * ox) + out_coords[..., 1] * ox
+         + out_coords[..., 2]), big)                      # [B, M] ascending
+
+    def ranks_one(table, queries):
+        pos, hitq, _ = _ranks_via_merge(table, queries)
+        return pos, hitq
+    pos, hitq = jax.vmap(ranks_one)(out_lin, lin_dn)      # [B, D, N]
+    boff = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0) * M
+    bwd_d = jnp.where(hitq, pos + boff, -1)
+    bwd_d = bwd_d.transpose(1, 0, 2).reshape(pos.shape[1], B * N)
+
+    sa = jnp.asarray(stride_a, jnp.int32)
+    cp = coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
+    pz, py, px = cp[..., 0] % sa[0], cp[..., 1] % sa[1], cp[..., 2] % sa[2]
+    parity = (pz * (int(stride_a[1]) * int(stride_a[2]))
+              + py * int(stride_a[2]) + px).reshape(B * N)
+    return out_coords, out_valid, out_grid, fwd_flat, bwd_d, parity
+
+
+@jax.custom_vjp
+def _rulebook_conv_compact(features, weights, w_eff, fwd_map, bwd_d,
+                           parity_oh, out_valid):
+    """Strided conv identical to ``_rulebook_conv`` in the forward, with
+    the feature gradient computed from the COMPACT [D, B*N] backward map:
+    df[n] = sum_d dout[bwd_d[d, n]] @ w_eff[p(n), d] — a D*N-row gather
+    (vs K*N dense) plus a parity-class einsum.
+
+    Args:
+        w_eff: [P, D, Cout, Cin] per-(parity, candidate) transposed
+            weights = weights[k_of[p, d]].transpose(-1, -2) * feasible.
+        parity_oh: [B*N, P] one-hot parity classes.
+    """
+    out, _ = _rbc_fwd(features, weights, w_eff, fwd_map, bwd_d,
+                      parity_oh, out_valid)
+    return out
+
+
+def _rbc_fwd(features, weights, w_eff, fwd_map, bwd_d, parity_oh,
+             out_valid):
+    g = _rb_gather(features, fwd_map)                 # [K, M, Cin]
+    out = jnp.einsum('knc,kcd->nd', g, weights.astype(g.dtype),
+                     preferred_element_type=jnp.float32)
+    out = jnp.where(out_valid[:, None], out, 0.0).astype(features.dtype)
+    return out, (features, weights, w_eff, fwd_map, bwd_d, parity_oh,
+                 out_valid)
+
+
+def _rbc_bwd(res, dout):
+    (features, weights, w_eff, fwd_map, bwd_d, parity_oh,
+     out_valid) = res
+    dout = jnp.where(out_valid[:, None], dout, 0.0)
+    # dw: re-gather CSEs with the forward's identical gather
+    g = _rb_gather(features, fwd_map)
+    dw = jnp.einsum('knc,nd->kcd', g, dout,
+                    preferred_element_type=jnp.float32).astype(
+                        weights.dtype)
+    # df from the compact map: D gathers of dout + per-parity einsum
+    gd = _rb_gather(dout, bwd_d)                      # [D, N, Cout]
+    tmp = jnp.einsum('dno,pdoc->pnc', gd, w_eff.astype(gd.dtype),
+                     preferred_element_type=jnp.float32)
+    df = jnp.einsum('pnc,np->nc', tmp,
+                    parity_oh.astype(tmp.dtype),
+                    preferred_element_type=jnp.float32).astype(
+                        features.dtype)
+    return df, dw, None, None, None, None, None
+
+
+_rulebook_conv_compact.defvjp(_rbc_fwd, _rbc_bwd)
+
+
+def rulebook_conv_compact(features, weights, fwd_map, bwd_d, parity,
+                          out_valid, kernel_size, stride):
+    """Public wrapper: builds the static per-parity weight table and the
+    one-hot parity matrix, then runs the compact-backward strided conv."""
+    k_of, feas = parity_k_table(kernel_size, stride)
+    w_eff = (weights[k_of].transpose(0, 1, 3, 2)
+             * jnp.asarray(feas, weights.dtype)[..., None, None])
+    parity_oh = jax.nn.one_hot(parity, k_of.shape[0], dtype=weights.dtype)
+    return _rulebook_conv_compact(features, weights, w_eff, fwd_map,
+                                  bwd_d, parity_oh, out_valid)
+
+
 def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
                         out_budget):
     """Output sites of a strided sparse conv PLUS its full gather rulebook,
@@ -757,46 +1040,12 @@ def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
         (out_coords [M, 3], out_valid [M], out_grid,
          fwd_map [K, M] int32, bwd_map [K, N] int32).
     """
-    ksz = _triple(kernel_size)
-    stride_a = np.asarray(_triple(stride), np.int64)
-    pad_a = np.asarray(_triple(padding), np.int64)
-    nz, ny, nx = st.grid
-    out_grid = tuple(
-        int((d + 2 * p - k) // s + 1)
-        for d, p, k, s in zip((nz, ny, nx), pad_a, ksz, stride_a))
+    ksz, stride_a, pad_a, out_grid, ds, big, K = _ds_prep(
+        st.grid, kernel_size, stride, padding, st.coords.shape[0])
     oz, oy, ox = out_grid
     N = st.coords.shape[0]
-    K = int(np.prod(ksz))
-
-    n_cand = [int(-(-k // s)) for k, s in zip(ksz, stride_a)]
-    ds = np.stack(np.meshgrid(*[np.arange(c) for c in n_cand],
-                              indexing='ij'), -1).reshape(-1, 3)  # [D, 3]
-    cp = st.coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
-    base_o = cp // jnp.asarray(stride_a, jnp.int32)          # [N, 3]
-    o = base_o[None, :, :] - jnp.asarray(ds, jnp.int32)[:, None, :]
-    off = cp[None, :, :] - o * jnp.asarray(stride_a, jnp.int32)
-    cover = jnp.all((off >= 0) & (off < jnp.asarray(ksz, jnp.int32)),
-                    axis=-1)
-    in_rng = jnp.all(
-        (o >= 0) & (o < jnp.asarray(out_grid, jnp.int32)), axis=-1)
-    ok = cover & in_rng & st.valid[None, :]
-
-    big = np.int64(oz) * oy * ox
-    assert big < 2 ** 31 - 1, f'out grid {out_grid} overflows int32'
-    big = np.int32(big)
-    assert N * K < 2 ** 31 - 1
-    k_id = (off[..., 0] * (ksz[1] * ksz[2]) + off[..., 1] * ksz[2]
-            + off[..., 2])                                   # [D, N]
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, k_id.shape, 1)
-    payload = i_idx * K + k_id
-    lin = (o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2])
-    lin = jnp.where(ok, lin, big)
-    keys, pay = jax.lax.sort((lin.reshape(-1), payload.reshape(-1)),
-                             num_keys=1)
-    prev = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
-    pair_ok = keys < big
-    newv = (keys != prev) & pair_ok
-    slot = jnp.cumsum(newv.astype(jnp.int32)) - 1            # per pair
+    keys, pay, newv, slot, pair_ok, _ = _ds_pairs(
+        st.coords, st.valid, ksz, stride_a, pad_a, out_grid, ds, big, K)
     slot_ok = pair_ok & (slot >= 0) & (slot < out_budget)
 
     out_lin = jnp.full((out_budget + 1,), big, jnp.int32).at[

@@ -93,6 +93,77 @@ def test_strided_flat_equals_vmap(scenes):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('ks,stride,pad', [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),   # SECOND's conv_out z-compress
+])
+def test_batched_rulebook_equals_vmapped(scenes, ks, stride, pad):
+    """downsample_rulebook_batched (flat scatters) must emit bit-identical
+    coords/valid/maps to the per-scene rulebook + flatten_rulebook."""
+    _, coords, valid = scenes
+    bud = 90
+
+    def one(c, v):
+        st = sp.SparseTensor(jnp.zeros((N, 1), jnp.float32), c, v, GRID)
+        return sp.downsample_rulebook(st, ks, stride, pad, bud)
+
+    oc, ov, og, fm, bm = jax.vmap(
+        one, out_axes=(0, 0, None, 0, 0))(coords, valid)
+    fm_f, bm_f = flatten_rulebook(fm, bm, N)
+    oc2, ov2, og2, fm2, bm2 = sp.downsample_rulebook_batched(
+        coords, valid, GRID, ks, stride, pad, bud)
+    assert og == og2
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(oc2))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov2))
+    np.testing.assert_array_equal(np.asarray(fm_f), np.asarray(fm2))
+    np.testing.assert_array_equal(np.asarray(bm_f), np.asarray(bm2))
+
+
+@pytest.mark.parametrize('ks,stride,pad', [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+])
+def test_compact_bwd_rulebook_matches_dense(scenes, ks, stride, pad):
+    """The compact-backward strided conv (GGA_RB_COMPACT_BWD path) must
+    match the dense-map conv exactly in the forward and to fp tolerance
+    in both gradients."""
+    feats, coords, valid = scenes
+    bud = 90
+    B, N_, C = feats.shape
+    rng = np.random.RandomState(3)
+    K = int(np.prod(ks))
+    w = jnp.asarray(rng.randn(K, C, 5).astype(np.float32) * 0.2)
+
+    oc, ov, og, fm, bm = sp.downsample_rulebook_batched(
+        coords, valid, GRID, ks, stride, pad, bud)
+    oc2, ov2, og2, fm2, bd, par = sp.downsample_rulebook_compact(
+        coords, valid, GRID, ks, stride, pad, bud)
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(oc2))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov2))
+    np.testing.assert_array_equal(np.asarray(fm), np.asarray(fm2))
+
+    ff = feats.reshape(B * N_, C)
+    ovf = ov.reshape(-1)
+
+    def dense(f, ww):
+        return sp.rulebook_conv(f, ww, fm, bm, ovf)
+
+    def compact(f, ww):
+        return sp.rulebook_conv_compact(f, ww, fm2, bd, par, ovf,
+                                        ks, stride)
+
+    np.testing.assert_allclose(np.asarray(dense(ff, w)),
+                               np.asarray(compact(ff, w)),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda f, ww: (dense(f, ww) ** 2).sum(),
+                  argnums=(0, 1))(ff, w)
+    g2 = jax.grad(lambda f, ww: (compact(f, ww) ** 2).sum(),
+                  argnums=(0, 1))(ff, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_flat_helpers_preserve_misses():
     nmap = jnp.asarray(np.array([[[0, 1], [1, 0]]] * 2))   # [B=2,K=2,N=2]
     hit = jnp.asarray(np.array([[[True, False], [True, True]]] * 2))

@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--k', type=int, default=16)
+    p.add_argument('--b', type=int, default=0,
+                   help='batch mode: A/B the vmapped rulebook (model '
+                        'path until round 4) vs the flat-scatter batched '
+                        'rulebook at each GGA stage shape')
     args = p.parse_args()
 
     import jax
@@ -29,6 +33,9 @@ def main():
     from gga_tpu.utils.env import setup_compilation_cache
     setup_compilation_cache()
     from gga_tpu.ops import sparse as S
+
+    if args.b:
+        return batch_mode(args)
 
     N, C, BUD = 16000, 16, 14000
     grid = (41, 1600, 1408)
@@ -125,6 +132,138 @@ def main():
     print(f'single sort (i32)   : {t_single * 1e3:8.3f} ms')
     print(f'dense slot map      : {t_grid * 1e3:8.3f} ms')
     print(f'rulebook_conv fwd   : {t_conv * 1e3:8.3f} ms')
+
+
+def batch_mode(args):
+    """A/B at batch --b: vmapped rulebook + flatten_rulebook (the model
+    path until round 4) vs downsample_rulebook_batched (flat scatters),
+    plus the vmapped enum+sort floor, at each GGA strided-conv shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gga_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+    from gga_tpu.models.layers import flatten_rulebook
+    from gga_tpu.ops import sparse as S
+
+    B = args.b
+    rng = np.random.RandomState(0)
+    STAGES = [  # (N_in, out_budget, in_grid)
+        (16000, 16000, (41, 1600, 1408)),
+        (16000, 14000, (21, 800, 704)),
+        (14000, 12000, (11, 400, 352)),
+    ]
+
+    def scan_time(fn, xs_all):
+        """Slope between 1 and --k scan steps; each step consumes a
+        DISTINCT coords batch from xs_all [K, B, N, 3] so nothing is
+        loop-invariant (a closed-over batch lets XLA hoist the whole
+        rulebook out of the loop — the round-3 'rulebook is cheap'
+        reading fell for exactly that)."""
+        import time
+        times = {}
+        for k in (1, args.k):
+            @jax.jit
+            def run(xs):
+                def body(carry, c):
+                    out = jax.tree_util.tree_leaves(fn(c))[0]
+                    return carry + out.astype(jnp.float32).sum() * 1e-12, 0
+                s, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+                return s
+            xs = xs_all[:k]
+            jax.block_until_ready(run(xs))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = run(xs)
+            jax.block_until_ready(out)
+            times[k] = (time.perf_counter() - t0) / 3
+        return max((times[args.k] - times[1]) / (args.k - 1), 1e-9)
+
+    for si, (n, bud, grid) in enumerate(STAGES):
+        coords = np.full((args.k, B, n, 3), -1, np.int32)
+        for k in range(args.k):
+            for b in range(B):
+                lin = np.sort(rng.choice(
+                    min(np.int64(grid[0]) * grid[1] * grid[2],
+                        2 ** 31 - 2), n,
+                    replace=False).astype(np.int64))
+                coords[k, b] = np.stack(
+                    [lin // (grid[1] * grid[2]),
+                     (lin % (grid[1] * grid[2])) // grid[2],
+                     lin % grid[2]], -1)
+        coords = jnp.asarray(coords)
+        validj = jnp.ones((B, n), bool)
+
+        def vmapped(cb):
+            def one(c, v):
+                st = S.SparseTensor(jnp.zeros((n, 1), jnp.float32),
+                                    c, v, grid)
+                return S.downsample_rulebook(st, (3, 3, 3), (2, 2, 2),
+                                             (1, 1, 1), bud)
+            oc, ov, og, fm, bm = jax.vmap(
+                one, out_axes=(0, 0, None, 0, 0))(cb, validj)
+            fm_f, bm_f = flatten_rulebook(fm, bm, n)
+            return fm_f + bm_f[:, :fm_f.shape[1]]
+
+        def batched(cb):
+            oc, ov, og, fm_f, bm_f = S.downsample_rulebook_batched(
+                cb, validj, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), bud)
+            return fm_f + bm_f[:, :fm_f.shape[1]]
+
+        def sort_floor(cb):
+            ksz, st_a, pad_a, og, ds, big, K = S._ds_prep(
+                grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), n)
+            keys, pay, newv, slot, ok, _ = jax.vmap(
+                lambda c, v: S._ds_pairs(c, v, ksz, st_a, pad_a,
+                                         og, ds, big, K))(cb, validj)
+            return keys + pay + slot
+
+        def pieces(cb, which):
+            """floor + a subset of the three scatters, for attribution."""
+            ksz, st_a, pad_a, og, ds, big, K = S._ds_prep(
+                grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), n)
+            keys, pay, newv, slot, ok, _ = jax.vmap(
+                lambda c, v: S._ds_pairs(c, v, ksz, st_a, pad_a,
+                                         og, ds, big, K))(cb, validj)
+            M = bud
+            slot_ok = ok & (slot >= 0) & (slot < M)
+            b_ix = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
+            acc = keys[:, :1]
+            k_arr = pay % K
+            i_arr = pay // K
+            if 'f' in which:
+                fidx = jnp.where(slot_ok, k_arr * (B * M) + b_ix * M
+                                 + slot, K * B * M).reshape(-1)
+                fwd = jnp.full((K * B * M + 1,), -1, jnp.int32).at[
+                    fidx].set((b_ix * n + i_arr).reshape(-1))
+                acc = acc + fwd[:1]
+            if 'b' in which:
+                bidx = jnp.where(slot_ok, k_arr * (B * n) + b_ix * n
+                                 + i_arr, K * B * n).reshape(-1)
+                bwd = jnp.full((K * B * n + 1,), -1, jnp.int32).at[
+                    bidx].set((b_ix * M + slot).reshape(-1))
+                acc = acc + bwd[:1]
+            if 'o' in which:
+                oidx = jnp.where(newv & slot_ok, b_ix * M + slot,
+                                 B * M).reshape(-1)
+                out_lin = jnp.full((B * M + 1,), big, jnp.int32).at[
+                    oidx].set(jnp.where(newv, keys, big).reshape(-1))
+                acc = acc + out_lin[:1]
+            return acc
+
+        t_v = scan_time(vmapped, coords)
+        t_b = scan_time(batched, coords)
+        t_s = scan_time(sort_floor, coords)
+        t_f = scan_time(lambda c: pieces(c, 'f'), coords)
+        t_fb = scan_time(lambda c: pieces(c, 'fb'), coords)
+        t_fbo = scan_time(lambda c: pieces(c, 'fbo'), coords)
+        print(f'S{si} B={B} N={n} bud={bud}: vmapped {t_v * 1e3:7.3f} ms'
+              f' | batched-flat {t_b * 1e3:7.3f} ms'
+              f' | enum+sort floor {t_s * 1e3:7.3f} ms'
+              f' | +fwd {t_f * 1e3:7.3f}'
+              f' | +bwd {t_fb * 1e3:7.3f}'
+              f' | +out {t_fbo * 1e3:7.3f}')
 
 
 if __name__ == '__main__':
