@@ -180,6 +180,27 @@ def main():
     from gga_tpu.models.detectors.centerpoint_gga import decode_detections
 
     infer_keys = ('points', 'points_valid')
+    # GGA_BENCH_INFER_MODE: 'full' (default) = fwd + decode + NMS (the
+    # stage-3 step); 'fwd' = model forward only; 'decode' = fwd +
+    # decode_task top-k (no NMS) — the differences attribute the
+    # decode/NMS shares with THIS harness's trustworthy timing
+    # (tools/microbench_infer.py hits a relay broken-blocking
+    # pathology this same process pattern somehow avoids).
+    infer_mode = os.environ.get('GGA_BENCH_INFER_MODE', 'full')
+    if infer_mode == 'decode':
+        from gga_tpu.models.dense_heads import centerpoint_head as _cp
+
+        def decode_only(c, preds):
+            dets = []
+            for tp in preds:
+                dets.append(_cp.decode_task(
+                    tp, voxel_size=c.head.voxel_size[:2],
+                    pc_range=c.head.point_cloud_range,
+                    out_size_factor=c.head.out_size_factor,
+                    max_num=c.max_per_task,
+                    score_threshold=c.score_threshold,
+                    post_center_range=c.head.point_cloud_range))
+            return dets
 
     def itime_of_k(k):
         xs = {key: stacked[key][:k] for key in infer_keys}
@@ -190,7 +211,10 @@ def main():
                 preds = s.apply_fn(
                     {'params': s.params, 'batch_stats': s.batch_stats},
                     b['points'], b['points_valid'], train=False)
-                dets = decode_detections(cfg, preds)
+                dets = (preds if infer_mode == 'fwd'
+                        else decode_only(cfg, preds)
+                        if infer_mode == 'decode'
+                        else decode_detections(cfg, preds))
                 fold = sum(jnp.sum(v).astype(jnp.float32)
                            for v in jax.tree_util.tree_leaves(dets))
                 return carry + fold * 1e-12, ()

@@ -16,6 +16,16 @@ from .rotated_iou import rotated_iou_bev
 def _greedy_suppress(iou, scores, thresh):
     """Greedy NMS given a full IoU matrix.
 
+    Self-suppression fixpoint instead of an N-step serial loop: with
+    S[j, i] = "higher-ranked j suppresses i", the greedy keep mask is
+    the unique solution of k = valid & ~(S^T k) (uniqueness by
+    induction on rank: k_i depends only on k_j with j < i). Iterating
+    k <- valid & ~(S^T k) from k = valid converges to it in at most
+    the longest suppression-chain length (typically < 10 for detection
+    workloads vs N = hundreds of serial steps for the naive loop; same
+    trick as TF's TPU non_max_suppression_padded self-suppression).
+    Exactness vs the serial loop is pinned by tests/test_core/.
+
     Args:
         iou: [N, N] pairwise IoU (symmetric-ish).
         scores: [N] scores; entries with -inf are pre-suppressed padding.
@@ -29,12 +39,21 @@ def _greedy_suppress(iou, scores, thresh):
     iou_o = iou[order][:, order]
     valid = jnp.isfinite(scores[order])
 
-    def body(i, keep):
-        sup = (iou_o[i] > thresh) & keep[i]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        return keep & ~(sup & (idx > i))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    sup = ((iou_o > thresh) & (idx[:, None] < idx[None, :])
+           & valid[:, None] & valid[None, :])   # [j, i]: j suppresses i
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, valid)
+    def cond(state):
+        k, prev, it = state
+        return jnp.any(k != prev) & (it < n)
+
+    def body(state):
+        k, _, it = state
+        suppressed = jnp.any(sup & k[:, None], axis=0)
+        return valid & ~suppressed, k, it + 1
+
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (valid, ~valid, jnp.int32(0)))
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep

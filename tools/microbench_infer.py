@@ -77,26 +77,42 @@ def main():
             return fold(dets)
         return post
 
-    def timed(name, mode):
+    def time_of_k(mode, k):
         post = stage_fn(mode)
-        times = {}
-        for k in (1, K):
-            @jax.jit
-            def run(v, xp, xv, k=k):
-                def body(c, x):
-                    preds = model.apply(v, x[0], x[1], train=False)
-                    return c + post(preds), ()
-                c, _ = jax.lax.scan(body, jnp.zeros(()), (xp[:k], xv[:k]))
-                return c
-            jax.block_until_ready(run(variables, pts, pv))
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                jax.block_until_ready(run(variables, pts, pv))
-                ts.append(time.perf_counter() - t0)
-            ts.sort()
-            times[k] = ts[1]
-        dt = max((times[K] - times[1]) / (K - 1), 1e-9)
+
+        @jax.jit
+        def run(v, xp, xv, eps):
+            # eps varies per rep: identical (program, args) launches can
+            # return anomalously fast on the remote-execution relay
+            # (result caching suspected) — distinct args defeat it
+            def body(c, x):
+                preds = model.apply(v, x[0], x[1], train=False)
+                return c + post(preds), ()
+            c, _ = jax.lax.scan(body, eps, (xp[:k], xv[:k]))
+            return c
+        jax.block_until_ready(run(variables, pts, pv, jnp.float32(99.)))
+        ts = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(variables, pts, pv,
+                                      jnp.float32(r)))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[1]
+
+    def timed(name, mode):
+        # sanity-bounded slope retry (bench.py): the relay sometimes
+        # returns a multi-second program in ms — a slope implying
+        # > 2000 scenes/s or <= 0 is a glitch, not a measurement.
+        dt, tK = None, None
+        for _ in range(3):
+            t1 = time_of_k(mode, 1)
+            tK = time_of_k(mode, K)
+            dt = (tK - t1) / (K - 1)
+            if dt > 0 and B / dt <= 2000.0:
+                break
+        else:
+            dt = max(tK / K, 1e-9)
         print(f'{name:36s} {dt * 1e3:9.2f} ms/batch{B}')
         return dt
 
