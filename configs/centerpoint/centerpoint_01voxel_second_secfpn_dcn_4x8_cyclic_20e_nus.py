@@ -1,12 +1,10 @@
-"""CenterPoint-DCN substitute (counterpart of /root/reference/configs/
-centerpoint/centerpoint_01voxel_second_secfpn_dcn_4x8_cyclic_20e_nus.py,
-whose head is DCNSeparateHead — centerpoint_head.py:125).
+"""CenterPoint-DCN (counterpart of /root/reference/configs/centerpoint/
+centerpoint_01voxel_second_secfpn_dcn_4x8_cyclic_20e_nus.py, whose head
+is DCNSeparateHead — centerpoint_head.py:125).
 
-Deformable convs are gather-heavy per-pixel dynamic addressing that does
-not map onto the MXU; this config matches the DCN head's added capacity
-with a doubled shared conv (128 vs 64 channels, one extra 3x3's worth of
-parameters per task) over the same stock CenterPoint. Documented delta:
-same parameter budget, MXU-friendly static addressing instead of
-deformable sampling."""
+The deformable feature adaptation is the real thing here too: per-pixel
+learned offsets with bilinear sampling (gga_tpu/ops/deform.py), resolved
+as four flat row gathers + one MXU einsum instead of mmcv's CUDA im2col.
+"""
 _base_ = ['./centerpoint_01voxel_second_secfpn_4x8_cyclic_20e_nus.py']
-model = dict(share_conv_channel=128)
+model = dict(dcn_head=True)

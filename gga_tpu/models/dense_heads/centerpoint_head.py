@@ -60,6 +60,67 @@ class SeparateHead(nn.Module):
         return out
 
 
+class DeformConv2d(nn.Module):
+    """mmcv DeformConv2dPack (DCN v1) as a flax module: a zero-init
+    standard conv predicts per-tap (dy, dx) offsets, the main kernel is
+    applied at the shifted bilinear samples (ops/deform.py). Zero offset
+    init makes it a regular conv at initialization, like mmcv."""
+    features: int
+    kernel_size: int = 3
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.deform import deform_conv2d
+        kk = self.kernel_size * self.kernel_size
+        off = nn.Conv(2 * kk, (self.kernel_size, self.kernel_size),
+                      padding='SAME', use_bias=True, dtype=x.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      name='conv_offset')(x)
+        w = self.param(
+            'kernel', conv_init,
+            (kk, x.shape[-1] // self.groups, self.features))
+        return deform_conv2d(x, off.astype(jnp.float32), w,
+                             kernel_size=self.kernel_size,
+                             groups=self.groups)
+
+
+class DCNSeparateHead(nn.Module):
+    """DCNSeparateHead (centerpoint_head.py:125): two deformable-conv
+    feature adapters split classification from regression; the heatmap
+    branch is ConvModule(3x3)+final conv on the cls features, the box
+    heads are a SeparateHead on the reg features."""
+    heads: Dict[str, Tuple[int, int]]
+    num_cls: int
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    dcn_groups: int = 4
+    out_biases: Dict[str, Tuple[float, ...]] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = x.shape[-1]
+        center_feat = DeformConv2d(c, groups=self.dcn_groups,
+                                   name='feature_adapt_cls')(x)
+        reg_feat = DeformConv2d(c, groups=self.dcn_groups,
+                                name='feature_adapt_reg')(x)
+
+        y = ConvModule2d(self.head_conv, 3, use_bias=True)(
+            center_feat, train)
+        hm = nn.Conv(self.num_cls, (3, 3), padding='SAME', use_bias=True,
+                     dtype=y.dtype, kernel_init=conv_init,
+                     bias_init=nn.initializers.constant(self.init_bias),
+                     name='heatmap_out')(y)
+        box_heads = {k: v for k, v in self.heads.items() if k != 'heatmap'}
+        out = SeparateHead(heads=box_heads, head_conv=self.head_conv,
+                           final_kernel=self.final_kernel,
+                           out_biases=self.out_biases,
+                           name='task_head')(reg_feat, train)
+        out['heatmap'] = hm.astype(jnp.float32)
+        return out
+
+
 class CenterHead(nn.Module):
     """CenterPoint head over NHWC BEV features.
 
@@ -72,6 +133,9 @@ class CenterHead(nn.Module):
     common_heads: Dict[str, Tuple[int, int]] = None
     num_heatmap_convs: int = 2
     separate_head_final_kernel: int = 3
+    # use DCNSeparateHead (deformable feature adaptation) per task, the
+    # reference's separate_head type for the *_dcn_* centerpoint configs
+    dcn_head: bool = False
     # optional per-task {head_name: bias values} prior inits
     task_out_biases: Sequence[Dict[str, Tuple[float, ...]]] = None
 
@@ -85,13 +149,22 @@ class CenterHead(nn.Module):
         for t, num_cls in enumerate(self.tasks):
             heads = dict(common)
             heads['heatmap'] = (num_cls, self.num_heatmap_convs)
-            outs.append(
-                SeparateHead(
-                    heads=heads,
-                    final_kernel=self.separate_head_final_kernel,
-                    out_biases=(self.task_out_biases[t]
-                                if self.task_out_biases else None),
-                    name=f'task{t}')(x, train))
+            biases = (self.task_out_biases[t]
+                      if self.task_out_biases else None)
+            if self.dcn_head:
+                outs.append(
+                    DCNSeparateHead(
+                        heads=heads, num_cls=num_cls,
+                        final_kernel=self.separate_head_final_kernel,
+                        out_biases=biases,
+                        name=f'task{t}')(x, train))
+            else:
+                outs.append(
+                    SeparateHead(
+                        heads=heads,
+                        final_kernel=self.separate_head_final_kernel,
+                        out_biases=biases,
+                        name=f'task{t}')(x, train))
         return outs
 
 

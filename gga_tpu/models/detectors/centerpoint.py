@@ -49,6 +49,9 @@ class CenterPointConfig:
     # nus task grouping (centerpoint_01voxel nus config tasks)
     tasks: Tuple[int, ...] = (1, 2, 2, 1, 2, 2)
     share_conv_channel: int = 64
+    # DCNSeparateHead per task (the *_dcn_* config family): deformable
+    # feature adaptation before the cls/reg branches
+    dcn_head: bool = False
     with_velocity: bool = True
     out_size_factor: int = 8
     gaussian_overlap: float = 0.1
@@ -148,6 +151,7 @@ class CenterPointDetector(nn.Module):
         return cp.CenterHead(
             tasks=tuple(c.tasks), in_channels=fused.shape[-1],
             share_conv_channel=c.share_conv_channel,
+            dcn_head=c.dcn_head,
             common_heads=common)(fused, train)
 
 

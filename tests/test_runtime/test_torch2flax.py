@@ -80,3 +80,45 @@ def test_votenet_import_rejects_missing_keys():
         assert 'conv_out' in str(e)
     else:
         raise AssertionError('expected KeyError on missing torch key')
+
+
+def _regnet():
+    import jax.numpy as jnp
+
+    from gga_tpu.models.backbones.regnet import NoStemRegNet
+    model = NoStemRegNet(arch='regnetx_400mf')
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 64),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    cfg = dict(arch='regnetx_400mf', strides=(1, 2, 2, 2), in_channels=64)
+    return cfg, model, variables, x
+
+
+def test_regnet_roundtrip_exact():
+    from model_converters.torch2flax import export_regnet, import_regnet
+    cfg, model, variables, x = _regnet()
+    sd = export_regnet(variables, cfg)
+    # regnet2mmdet.py output convention: layer{i}.{j}.conv/bn/downsample
+    for k in sd:
+        assert k.startswith('backbone.layer'), k
+    w = sd['backbone.layer1.0.conv2.weight']
+    assert w.ndim == 4 and w.shape[2:] == (3, 3)   # torch OIHW
+    back = import_regnet(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_regnet_imported_forward_runs():
+    from model_converters.torch2flax import export_regnet, import_regnet
+    cfg, model, variables, x = _regnet()
+    back = import_regnet(export_regnet(variables, cfg), cfg)
+    out_a = model.apply(variables, x, train=False)
+    out_b = model.apply(back, x, train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(out_a),
+                    jax.tree_util.tree_leaves(out_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -210,7 +210,119 @@ def export_votenet(variables, cfg):
     return out
 
 
-FAMILIES = {'votenet': (import_votenet, export_votenet)}
+def regnet_rules(arch, strides=(1, 2, 2, 2), in_channels=64):
+    """(torch_key, collection, flax_path, transform) for NoStemRegNet.
+
+    Torch keys use the mmdet layout that regnet2mmdet.py produces
+    (/root/reference/tools/model_converters/regnet2mmdet.py:23):
+    ``layer{i}.{j}.conv1..3 / bn1..3 / downsample.0/1``. The stem
+    (conv1/bn1) has no counterpart in the no-stem backbone and is
+    skipped by the importer.
+    """
+    from gga_tpu.models.backbones.regnet import (REGNET_ARCHS,
+                                                 generate_regnet)
+    a = REGNET_ARCHS[arch]
+    widths, depths, _ = generate_regnet(a['w0'], a['wa'], a['wm'],
+                                        a['depth'], a['group_w'])
+    rules = []
+    blk = 0
+    prev_w = in_channels
+    for i, (w, d) in enumerate(zip(widths, depths)):
+        for j in range(d):
+            t = f'backbone.layer{i + 1}.{j}'
+            f = f'RegNetXBlock_{blk}'
+            for conv, fmod in (('conv1', 'ConvModule2d_0'),
+                               ('conv3', 'ConvModule2d_1')):
+                rules.append((f'{t}.{conv}.weight', 'params',
+                              f'{f}/{fmod}/Conv_0/kernel', 'conv_oihw'))
+            rules.append((f'{t}.conv2.weight', 'params',
+                          f'{f}/Conv_0/kernel', 'conv_oihw'))
+            for bn, fmod in (('bn1', 'ConvModule2d_0/BatchNorm2d_0'),
+                             ('bn2', 'BatchNorm2d_0'),
+                             ('bn3', 'ConvModule2d_1/BatchNorm2d_0')):
+                rules += _bn_moves(f'{t}.{bn}',
+                                   f'{f}/{fmod}/BatchNorm_0')
+            stride = strides[i] if j == 0 else 1
+            if stride != 1 or prev_w != w:
+                rules.append((f'{t}.downsample.0.weight', 'params',
+                              f'{f}/ConvModule2d_2/Conv_0/kernel',
+                              'conv_oihw'))
+                rules += _bn_moves(
+                    f'{t}.downsample.1',
+                    f'{f}/ConvModule2d_2/BatchNorm2d_0/BatchNorm_0')
+            prev_w = w
+            blk += 1
+    return rules
+
+
+def _bn_moves(torch_prefix, flax_prefix):
+    return [(f'{torch_prefix}.weight', 'params',
+             f'{flax_prefix}/scale', 'copy'),
+            (f'{torch_prefix}.bias', 'params',
+             f'{flax_prefix}/bias', 'copy'),
+            (f'{torch_prefix}.running_mean', 'batch_stats',
+             f'{flax_prefix}/mean', 'copy'),
+            (f'{torch_prefix}.running_var', 'batch_stats',
+             f'{flax_prefix}/var', 'copy')]
+
+
+def _regnet_transform(name, x, backward=False):
+    x = _np(x)
+    if name == 'conv_oihw':      # torch [O, I/g, kh, kw] <-> [kh, kw, I/g, O]
+        return x.transpose(2, 3, 1, 0) if not backward else \
+            x.transpose(3, 2, 0, 1)
+    return x
+
+
+def import_regnet(state_dict, cfg):
+    """mmdet-layout RegNet state_dict -> NoStemRegNet flax variables.
+
+    cfg: dict(arch=..., strides=..., in_channels=...) or an object with
+    those attributes. Stem keys (backbone.conv1/bn1) are ignored — the
+    no-stem variant replaces them with the pillar scatter's 64-channel
+    map (reference NoStemRegNet, mmdet3d/models/backbones/base_pointnet.py
+    analog at regnet.py)."""
+    from flax.traverse_util import unflatten_dict
+
+    get = (cfg.get if isinstance(cfg, dict)
+           else lambda k, d=None: getattr(cfg, k, d))
+    rules = regnet_rules(get('arch', 'regnetx_400mf'),
+                         tuple(get('strides', (1, 2, 2, 2))),
+                         int(get('in_channels', 64)))
+    flat = {'params': {}, 'batch_stats': {}}
+    used = set()
+    for tk, coll, fp, tr in rules:
+        if tk not in state_dict:
+            raise KeyError(f'missing torch key: {tk}')
+        flat[coll][tuple(fp.split('/'))] = _regnet_transform(
+            tr, state_dict[tk])
+        used.add(tk)
+    unused = [k for k in state_dict
+              if k not in used and 'num_batches_tracked' not in k
+              and not k.startswith(('backbone.conv1', 'backbone.bn1'))]
+    if unused:
+        raise KeyError(f'unmapped torch keys: {unused[:8]}')
+    return {c: unflatten_dict(d) for c, d in flat.items()}
+
+
+def export_regnet(variables, cfg):
+    """Inverse of import_regnet (round-trip test + handing weights back
+    to the torch stack)."""
+    from flax.traverse_util import flatten_dict
+
+    get = (cfg.get if isinstance(cfg, dict)
+           else lambda k, d=None: getattr(cfg, k, d))
+    rules = regnet_rules(get('arch', 'regnetx_400mf'),
+                         tuple(get('strides', (1, 2, 2, 2))),
+                         int(get('in_channels', 64)))
+    flat = {c: {'/'.join(k): v for k, v in flatten_dict(d).items()}
+            for c, d in variables.items()}
+    return {tk: _regnet_transform(tr, flat[coll][fp], backward=True)
+            for tk, coll, fp, tr in rules}
+
+
+FAMILIES = {'votenet': (import_votenet, export_votenet),
+            'regnet': (import_regnet, export_regnet)}
 
 
 def main():
@@ -218,6 +330,8 @@ def main():
     ap.add_argument('checkpoint', help='.pth (torch.load-able) or .pkl '
                     'holding a state_dict or {"state_dict": ...}')
     ap.add_argument('--family', default='votenet', choices=FAMILIES)
+    ap.add_argument('--arch', default='regnetx_400mf',
+                    help='regnet family: the pycls arch name')
     ap.add_argument('--out', required=True,
                     help='output .pkl of flax variables')
     args = ap.parse_args()
@@ -233,6 +347,8 @@ def main():
     if args.family == 'votenet':
         from gga_tpu.models.detectors.votenet import VoteNetConfig
         cfg = VoteNetConfig()
+    elif args.family == 'regnet':
+        cfg = dict(arch=args.arch, strides=(1, 2, 2, 2), in_channels=64)
     variables = FAMILIES[args.family][0](sd, cfg)
     with open(args.out, 'wb') as f:
         pickle.dump(variables, f)
