@@ -48,6 +48,7 @@ class MaskRCNNConfig:
     rpn_nms_thr: float = 0.7
     rpn_pos_iou: float = 0.7
     rpn_neg_iou: float = 0.3
+    rpn_min_pos_iou: float = 0.3   # match_low_quality gate (mmdet)
     rpn_num_samples: int = 256
     rpn_pos_fraction: float = 0.5
     # RCNN (train_cfg.rcnn)
@@ -208,12 +209,19 @@ def rpn_loss(cfg: MaskRCNNConfig, anchors, rpn_outs, gt_boxes, gt_valid,
         iou = iou_2d(anc, gtb)                          # [A, G]
         iou = jnp.where(gtv[None, :], iou, -1.0)
         max_iou = iou.max(-1)
+        # empty image: treat every anchor as background (mmdet does),
+        # otherwise the -1 sentinel empties neg and the loss silently
+        # vanishes for this sample
+        max_iou = jnp.where(gtv.any(), max_iou, 0.0)
         arg = iou.argmax(-1)
         pos = max_iou >= cfg.rpn_pos_iou
-        # match_low_quality: each GT's best anchor becomes positive
-        best_per_gt = jnp.where(gtv, iou.argmax(0), 0)
-        pos = pos.at[best_per_gt].set(
-            pos[best_per_gt] | gtv)
+        # match_low_quality: each GT's best anchor becomes positive,
+        # gated by min_pos_iou. Accumulating scatter-max so duplicate
+        # indices (invalid GTs all map to anchor 0) cannot clobber a
+        # valid GT's flag via unspecified write order.
+        best_per_gt = iou.argmax(0)
+        low_ok = gtv & (iou.max(0) >= cfg.rpn_min_pos_iou)
+        pos = pos | jnp.zeros_like(pos).at[best_per_gt].max(low_ok)
         neg = (max_iou < cfg.rpn_neg_iou) & (max_iou >= 0) & ~pos
 
         A = anc.shape[0]
@@ -262,6 +270,9 @@ def assign_sample_2d(cfg: MaskRCNNConfig, rng, proposals, prop_valid,
     iou = iou_2d(props, gt_boxes)
     iou = jnp.where(gt_valid[None, :], iou, -1.0)
     max_iou = jnp.where(pvalid, iou.max(-1), -1.0)
+    # empty image: all valid proposals become background (mmdet)
+    max_iou = jnp.where(gt_valid.any(), max_iou,
+                        jnp.where(pvalid, 0.0, -1.0))
     arg = iou.argmax(-1)
     pos = (max_iou >= cfg.pos_iou_thr) & pvalid
     neg = (max_iou < cfg.neg_iou_thr) & (max_iou >= 0) & pvalid
@@ -278,9 +289,11 @@ def assign_sample_2d(cfg: MaskRCNNConfig, rng, proposals, prop_valid,
 
     pr, nr = rank(pos), rank(neg)
     BIG = 1e6
+    # quota-overflow positives are EXCLUDED (jnp.inf), matching mmdet's
+    # RandomSampler which leaves unsampled positives out rather than
+    # training them as background
     key = jnp.where(pos & (pr < npos), pr,
                     jnp.where(neg, BIG + nr, jnp.inf))
-    key = jnp.where(pos & (pr >= npos), 2 * BIG + pr, key)
     order = jnp.argsort(key)[:cfg.num_samples]
     sel = jnp.isfinite(key[order])
     return dict(
@@ -400,6 +413,10 @@ class MaskRCNN(nn.Module):
         l_rpn_cls, l_rpn_box = rpn_loss(
             c, anchors, rpn_outs, gt_boxes, gt_valid, k_rpn, (H, W))
 
+        # detach proposals (mmdet does; parta2.py/point_rcnn.py too):
+        # RCNN losses must not backprop into the RPN reg head through
+        # the RoI sample coordinates or the encode() targets
+        proposals = jax.lax.stop_gradient(proposals)
         keys = jax.random.split(k_rcnn, B)
         sample = jax.vmap(
             lambda p, pv, gb, gl, gv, k: assign_sample_2d(
