@@ -36,6 +36,30 @@ def latest_step(ckpt_dir):
         return None
 
 
+def load_variables(ckpt_dir, variables, step=None):
+    """Weights-only load into a flax ``variables`` dict (no optimizer
+    state needed — the inference/demo path's analog of ``load_from``).
+
+    The checkpoint's ``params``/``batch_stats`` entries are restored
+    against the given variables as the template; other collections pass
+    through unchanged. Raises FileNotFoundError if the dir has no step.
+    """
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f'no checkpoint found in {ckpt_dir}')
+    # template-free restore (returns the full saved tree as arrays);
+    # this orbax version's StandardRestore has no partial_restore, and
+    # the caller has no opt_state template to offer
+    restored = mgr.restore(step)
+    out = dict(variables)
+    for k in ('params', 'batch_stats'):
+        if k in variables and k in restored:
+            out[k] = jax.tree_util.tree_map(
+                lambda _, r: r, variables[k], restored[k])
+    return out
+
+
 def resume_from(ckpt_dir, state, step=None):
     """Full resume (optimizer + step)."""
     mgr = _manager(ckpt_dir)
