@@ -231,6 +231,15 @@ def main():
     ap.add_argument('--steps', type=int, default=3000)
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--lr', type=float, default=2e-3)
+    ap.add_argument('--schedule', default='step', choices=['flat', 'step'],
+                    help="'step' mirrors the reference PGD retrain "
+                         "(x0.1 at 32/48 and 44/48 of training, "
+                         "gga_pdg.py:160-166); 'flat' is the round-4 "
+                         "recipe whose strict AP swung 34-58 between "
+                         "adjacent evals")
+    ap.add_argument('--ema', type=float, default=0.999,
+                    help='EMA decay for the eval weights (0 disables); '
+                         'evals and the final score use the EMA params')
     ap.add_argument('--eval-every', type=int, default=0)
     ap.add_argument('--out', default=None)
     ap.add_argument('--cpu', action='store_true')
@@ -300,11 +309,23 @@ def main():
                           ds_dev, n_scenes, img_shape, infos)
     print('  untrained:', json.dumps(before))
 
-    # SGD + warmup like gga_pdg.py:152-166, flat after warmup (tiny run)
+    # SGD + linear warmup like gga_pdg.py:152-166. 'step' decays x0.1 at
+    # the reference's epoch fractions (32/48, 44/48 of total); 'flat'
+    # keeps the post-warmup lr constant (round-4 recipe).
     warmup = min(500, args.steps // 4)
-    sched = optax.join_schedules(
-        [optax.linear_schedule(args.lr / 3, args.lr, warmup),
-         optax.constant_schedule(args.lr)], [warmup])
+    if args.schedule == 'step':
+        d1 = max(warmup + 1, int(args.steps * 32 / 48))
+        d2 = max(d1 + 1, int(args.steps * 44 / 48))
+        sched = optax.join_schedules(
+            [optax.linear_schedule(args.lr / 3, args.lr, warmup),
+             optax.constant_schedule(args.lr),
+             optax.constant_schedule(args.lr * 0.1),
+             optax.constant_schedule(args.lr * 0.01)],
+            [warmup, d1, d2])
+    else:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(args.lr / 3, args.lr, warmup),
+             optax.constant_schedule(args.lr)], [warmup])
     tx = optax.chain(optax.clip_by_global_norm(35.0),
                      optax.sgd(sched, momentum=0.9),
                      optax.add_decayed_weights(1e-4))
@@ -320,6 +341,14 @@ def main():
     regress_flat = jnp.concatenate([
         jnp.broadcast_to(jnp.asarray(r, jnp.float32), (p.shape[0], 2))
         for p, r in zip(pts, cfg.head.regress_ranges)])
+
+    ema_decay = args.ema
+
+    @jax.jit
+    def ema_update(ema_params, params):
+        return jax.tree_util.tree_map(
+            lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+            ema_params, params)
 
     @jax.jit
     def train_step(params, bstats, opt_state, dsd, idx):
@@ -355,6 +384,7 @@ def main():
     params = jax.device_put(params)
     bstats = jax.device_put(bstats)
     opt_state = jax.device_put(opt_state)
+    ema_params = params if ema_decay else None
     while step < args.steps:
         order = np.arange(n_scenes)
         np.random.RandomState(epoch + 1).shuffle(order)
@@ -363,13 +393,17 @@ def main():
             idx = jnp.asarray(order[i:i + args.batch])
             params, bstats, opt_state, logs = train_step(
                 params, bstats, opt_state, ds_dev, idx)
+            if ema_decay:
+                ema_params = ema_update(ema_params, params)
             step += 1
             if step % 50 == 0 or step == 1:
                 print(f'  step {step}: loss={float(logs["loss"]):.3f}')
             if args.eval_every and step % args.eval_every == 0 \
                     and step < args.steps:
                 mid = evaluate_pgd(
-                    model, cfg, {'params': params, 'batch_stats': bstats},
+                    model, cfg,
+                    {'params': ema_params if ema_decay else params,
+                     'batch_stats': bstats},
                     ds_dev, n_scenes, img_shape, infos)
                 curve.append(dict(step=step, **mid))
                 print(f'  [curve] step {step}: {json.dumps(mid)}')
@@ -380,7 +414,8 @@ def main():
 
     print('[4/4] scoring TRAINED PGD vs synthetic GT...')
     after = evaluate_pgd(model, cfg,
-                         {'params': params, 'batch_stats': bstats},
+                         {'params': ema_params if ema_decay else params,
+                          'batch_stats': bstats},
                          ds_dev, n_scenes, img_shape, infos)
     print('  trained:', json.dumps(after))
     curve.append(dict(step=step, **after))
@@ -391,6 +426,7 @@ def main():
         'pseudo_data_quality': data_quality,
         'untrained': before, 'trained': after, 'curve': curve,
         'scenes': len(infos), 'train_steps': step,
+        'schedule': args.schedule, 'ema': args.ema, 'lr': args.lr,
     }
     print(json.dumps(result))
     if args.out:
