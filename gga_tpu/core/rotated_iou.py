@@ -25,6 +25,78 @@ def _cross2(a, b):
     return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
 
 
+def _angle_sort_network(ang, pts, mask):
+    """Sort the 24 candidate vertices by (angle, index) along the last
+    axis with a branchless bitonic network — jnp path only.
+
+    XLA's TPU sort over a 24-element minor axis is pathological:
+    argsort + take_along_axis alone measured 46 ms of the 47 ms
+    [8, 100, 100] rotated-IoU matrix (tools/microbench_rotated_iou.py),
+    i.e. the entire stage-3 NMS tail. The network is ~15 rounds of
+    reshape-paired min/max selects — pure elementwise VPU work, no
+    gathers/sorts — and reproduces jnp.argsort's stable order exactly
+    (lexicographic (key, original-index) comparisons).
+
+    Args:
+        ang: [..., 24] float keys (invalid entries pre-set to 1e9).
+        pts: [..., 24, 2] payload vertices.
+        mask: [..., 24] bool payload.
+
+    Returns:
+        (pts_sorted, mask_sorted) in ascending (ang, idx) order,
+        padded back to 24 lanes.
+    """
+    n = ang.shape[-1]
+    L = 1
+    while L < n:
+        L *= 2
+    pad = L - n
+    if pad:
+        big = jnp.full(ang.shape[:-1] + (pad,), 2e9, ang.dtype)
+        ang = jnp.concatenate([ang, big], -1)
+        pts = jnp.concatenate(
+            [pts, jnp.zeros(pts.shape[:-2] + (pad, 2), pts.dtype)], -2)
+        mask = jnp.concatenate(
+            [mask, jnp.zeros(mask.shape[:-1] + (pad,), bool)], -1)
+    idx = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32), ang.shape).astype(jnp.int32)
+    px, py = pts[..., 0], pts[..., 1]
+    lanes = np.arange(L)
+
+    import math
+    for s in range(int(math.log2(L))):
+        for t in range(s, -1, -1):
+            d = 1 << t
+            g = L // (2 * d)
+
+            def ex(a):
+                shp = a.shape[:-1] + (g, 2, d)
+                return a.reshape(shp)
+
+            ka, kb = (lambda r: (r[..., 0, :], r[..., 1, :]))(ex(ang))
+            ia, ib = (lambda r: (r[..., 0, :], r[..., 1, :]))(ex(idx))
+            # ascending iff block bit (s+1) of the lane index is 0
+            asc = jnp.asarray(
+                ((lanes.reshape(g, 2, d)[:, 0, :] >> (s + 1)) & 1) == 0)
+            lt = (ka < kb) | ((ka == kb) & (ia < ib))
+            swap = jnp.where(asc, ~lt, lt)
+
+            def merge(a):
+                r = ex(a)
+                x0, x1 = r[..., 0, :], r[..., 1, :]
+                y0 = jnp.where(swap, x1, x0)
+                y1 = jnp.where(swap, x0, x1)
+                return jnp.stack([y0, y1], -2).reshape(a.shape)
+
+            ang, idx, px, py = (merge(ang), merge(idx), merge(px),
+                                merge(py))
+            mask = merge(mask)
+    out_pts = jnp.stack([px, py], -1)
+    if pad:
+        return out_pts[..., :n, :], mask[..., :n]
+    return out_pts, mask
+
+
 def _box_corners(boxes, xp):
     """[..., 5] (x, y, dx, dy, yaw) -> [..., 4, 2] CCW corners."""
     half = boxes[..., 2:4] / 2.0
@@ -101,9 +173,14 @@ def rotated_overlap(boxes1, boxes2, xp=jnp):
     ang = xp.arctan2(pts[..., 1] - centroid[..., 1],
                      pts[..., 0] - centroid[..., 0])
     ang = xp.where(mask, ang, 1e9)               # invalid sorted to end
-    order = xp.argsort(ang, axis=-1)
-    pts_s = xp.take_along_axis(pts, order[..., None], axis=-2)
-    mask_s = xp.take_along_axis(mask, order, axis=-1)
+    if xp is jnp:
+        # bitonic network: XLA's 24-minor-axis sort costs ~46 ms at
+        # [8, 100, 100] — the entire NMS tail (microbench_rotated_iou)
+        pts_s, mask_s = _angle_sort_network(ang, pts, mask)
+    else:
+        order = xp.argsort(ang, axis=-1)
+        pts_s = xp.take_along_axis(pts, order[..., None], axis=-2)
+        mask_s = xp.take_along_axis(mask, order, axis=-1)
     first = pts_s[..., 0:1, :]
     pts_s = xp.where(mask_s[..., None], pts_s, first)
     nxt = xp.roll(pts_s, -1, axis=-2)
