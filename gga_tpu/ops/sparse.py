@@ -310,6 +310,9 @@ def downsample_coords(st: SparseTensor, kernel_size, stride, padding,
     lin_s = jnp.sort(lin)
     prev = jnp.concatenate([jnp.full((1,), -1, lin_s.dtype), lin_s[:-1]])
     newv = (lin_s != prev) & (lin_s < big)
+    if BUDGET_PRIORITY == 'dist':
+        newv = newv & _budget_keep(lin_s, newv, jnp.int32(big), out_grid,
+                                   out_budget)
     slot = jnp.cumsum(newv.astype(jnp.int32)) - 1
     slot = jnp.where(newv & (slot < out_budget), slot, out_budget)
 
@@ -790,6 +793,48 @@ def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K):
     return keys, pay, newv, slot, pair_ok, lin
 
 
+# Budget-overflow truncation priority. 'coord' (historical) drops
+# overflow sites in linearized-coordinate order — spatially biased
+# toward the grid corner. 'dist' (default) keeps the sites NEAREST THE
+# EGO (voxel-grid BEV distance; x forward from 0, y centered), dropping
+# the far tail instead — the reference never truncates here at all
+# (dynamic spconv shapes), so when the budget saturates the near field
+# is what fidelity wants. Selection threshold comes from one extra
+# two-key sort of the per-site (d2, lin) priorities; slots among kept
+# sites stay assigned in lin order, preserving the sorted invariant.
+BUDGET_PRIORITY = os.environ.get('GGA_BUDGET_PRIORITY', 'dist')
+
+
+def _budget_keep(keys, newv, big, out_grid, budget):
+    """Per-pair keep mask for distance-priority budget truncation.
+
+    Args:
+        keys: [L] pair out-lin ids, sorted ascending (``big`` = invalid).
+        newv: [L] first-pair-of-site flags.
+        big: invalid sentinel (= prod(out_grid)).
+        out_grid: (oz, oy, ox).
+        budget: static site budget M.
+
+    Returns:
+        keep [L] bool: pair's site is within the budget by (d2, lin)
+        priority. Exactly min(n_sites, budget) sites survive (the
+        (d2, lin) composite is unique per site).
+    """
+    oz, oy, ox = out_grid
+    rem = keys % (oy * ox)
+    y = rem // ox
+    x = rem % ox
+    d2 = x * x + (y - oy // 2) ** 2
+    imax = jnp.iinfo(jnp.int32).max
+    d2 = jnp.where(keys < big, d2, imax)
+    site_d2 = jnp.where(newv, d2, imax)
+    site_lin = jnp.where(newv, keys, imax)
+    sd2, slin = jax.lax.sort((site_d2, site_lin), num_keys=2)
+    i = min(budget, keys.shape[0]) - 1
+    td2, tlin = sd2[i], slin[i]
+    return (keys < big) & ((d2 < td2) | ((d2 == td2) & (keys <= tlin)))
+
+
 def downsample_rulebook_batched(coords, valid, grid, kernel_size, stride,
                                 padding, out_budget):
     """Batched ``downsample_rulebook`` emitting BATCH-FLAT gather maps
@@ -819,6 +864,12 @@ def downsample_rulebook_batched(coords, valid, grid, kernel_size, stride,
     keys, pay, newv, slot, pair_ok, _ = jax.vmap(
         lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid, ds,
                                big, K))(coords, valid)       # each [B, D*N]
+    if BUDGET_PRIORITY == 'dist':
+        keep = jax.vmap(lambda k, nv: _budget_keep(
+            k, nv, big, out_grid, M))(keys, newv)
+        newv = newv & keep
+        slot = jnp.cumsum(newv.astype(jnp.int32), axis=-1) - 1
+        pair_ok = pair_ok & keep
     slot_ok = pair_ok & (slot >= 0) & (slot < M)
     b_ix = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
 
@@ -910,6 +961,12 @@ def downsample_rulebook_compact(coords, valid, grid, kernel_size, stride,
     keys, pay, newv, slot, pair_ok, lin_dn = jax.vmap(
         lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid, ds,
                                big, K))(coords, valid)
+    if BUDGET_PRIORITY == 'dist':
+        keep = jax.vmap(lambda k, nv: _budget_keep(
+            k, nv, big, out_grid, M))(keys, newv)
+        newv = newv & keep
+        slot = jnp.cumsum(newv.astype(jnp.int32), axis=-1) - 1
+        pair_ok = pair_ok & keep
     slot_ok = pair_ok & (slot >= 0) & (slot < M)
     b_ix = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
 
@@ -1048,6 +1105,11 @@ def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,
     N = st.coords.shape[0]
     keys, pay, newv, slot, pair_ok, _ = _ds_pairs(
         st.coords, st.valid, ksz, stride_a, pad_a, out_grid, ds, big, K)
+    if BUDGET_PRIORITY == 'dist':
+        keep = _budget_keep(keys, newv, big, out_grid, out_budget)
+        newv = newv & keep
+        slot = jnp.cumsum(newv.astype(jnp.int32)) - 1
+        pair_ok = pair_ok & keep
     slot_ok = pair_ok & (slot >= 0) & (slot < out_budget)
 
     out_lin = jnp.full((out_budget + 1,), big, jnp.int32).at[

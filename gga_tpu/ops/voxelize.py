@@ -93,6 +93,17 @@ def hard_voxelize(points, valid, *, voxel_size, pc_range, max_points=5,
     # new-voxel flags over the sorted ids
     prev = jnp.concatenate([jnp.full((1,), -1, lin_s.dtype), lin_s[:-1]])
     newv = (lin_s != prev) & ok_s
+    # budget-overflow priority: drop the FARTHEST voxels instead of the
+    # coordinate-order tail (ops/sparse.BUDGET_PRIORITY; the reference's
+    # mmcv Voxelization drops in point-scan order — spatially unbiased —
+    # so distance priority is closer to it than the corner-biased
+    # coordinate order)
+    from .sparse import BUDGET_PRIORITY, _budget_keep
+    if BUDGET_PRIORITY == 'dist':
+        vkeep = _budget_keep(lin_s, newv, big, (gz, gy, gx), max_voxels)
+        newv = newv & vkeep
+    else:
+        vkeep = True
     slot = jnp.cumsum(newv.astype(jnp.int32)) - 1          # voxel slot/point
     slot = jnp.where(ok_s, slot, max_voxels)                # park invalid
     # rank of each point within its voxel
@@ -101,7 +112,7 @@ def hard_voxelize(points, valid, *, voxel_size, pc_range, max_points=5,
     seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
     rank = pidx - seg_start
 
-    keep = ok_s & (slot < max_voxels) & (rank < max_points)
+    keep = ok_s & vkeep & (slot < max_voxels) & (rank < max_points)
     vslot = jnp.where(keep, slot, max_voxels)
     prank = jnp.where(keep, rank, 0)
 
