@@ -321,8 +321,202 @@ def export_regnet(variables, cfg):
             for tk, coll, fp, tr in rules}
 
 
+# --------------------------------------------------------------- GGA
+# Flagship family: HardSimpleVFE (no params) + SparseEncoder + SECOND +
+# SECONDFPN + CenterHead/CenterHead_GGA. Torch layout per the reference
+# modules (sparse_encoder.py make_encoder_layers block_type='basicblock',
+# second.py blocks.{s}.{3j}, second_fpn.py deblocks.{i}, and
+# centerpoint_head_gga.py shared_conv/task_heads).
+
+
+def _gga_transform(name, x, backward=False):
+    x = _np(x)
+    if name.startswith('sparse3d'):
+        # torch spconv2 [O, D, H, W, I] (released GGA checkpoints) or
+        # mmcv-spconv1 [D, H, W, I, O] <-> flax [K, I, O]; offset id
+        # k = d*(H*W) + h*W + w matches the row-major (D, H, W) flatten.
+        _, i_ch, o_ch = name.split(':')
+        i_ch, o_ch = int(i_ch), int(o_ch)
+        if backward:                      # [K, I, O] -> spconv2 layout
+            k = x.shape[0]
+            dhw = (3, 1, 1) if k == 3 else (3, 3, 3)
+            return x.reshape(*dhw, i_ch, o_ch).transpose(4, 0, 1, 2, 3)
+        if x.ndim == 5:
+            if x.shape[3:] == (i_ch, o_ch):       # spconv1 (D,H,W,I,O)
+                pass
+            elif x.shape[0] == o_ch and x.shape[-1] == i_ch:
+                x = x.transpose(1, 2, 3, 4, 0)    # spconv2 -> spconv1
+            else:
+                raise ValueError(f'{name}: unrecognized sparse conv '
+                                 f'weight shape {x.shape}')
+        assert x.shape[-2:] == (i_ch, o_ch), (name, x.shape)
+        return x.reshape(-1, i_ch, o_ch)
+    if name == 'conv2d':                  # [O, I, kh, kw] <-> [kh, kw, I, O]
+        return x.transpose(3, 2, 0, 1) if backward else \
+            x.transpose(2, 3, 1, 0)
+    if name == 'deconv2d':
+        # torch ConvTranspose2d [I, O, kh, kw] <-> flax ConvTranspose
+        # kernel [kh, kw, I, O] with SPATIAL FLIP (verified numerically:
+        # flax conv_transpose correlates, torch deconv convolves)
+        if backward:
+            return np.ascontiguousarray(
+                x[::-1, ::-1].transpose(2, 3, 0, 1))
+        return np.ascontiguousarray(x.transpose(2, 3, 0, 1)[::-1, ::-1])
+    return x
+
+
+def gga_rules(cfg):
+    """(torch_key, collection, flax_path, transform) for the GGA /
+    CenterPoint-KITTI flagship (state_dict prefixes pts_middle_encoder /
+    pts_backbone / pts_neck / pts_bbox_head; pts_voxel_encoder
+    HardSimpleVFE has no parameters)."""
+    rules = []
+
+    def bn(torch_prefix, flax_prefix):
+        rules.extend(_bn_moves(torch_prefix, flax_prefix))
+
+    # ---- SparseEncoder -------------------------------------------------
+    enc = 'SparseEncoder_0'
+    me = 'pts_middle_encoder'
+    in_ch = 4
+    base = cfg.encoder_channels[0][0]
+    rules.append((f'{me}.conv_input.0.weight', 'params',
+                  f'{enc}/SubMConv3dMapped_0/kernel',
+                  f'sparse3d:{in_ch}:{base}'))
+    bn(f'{me}.conv_input.1', f'{enc}/MaskedBatchNorm_0')
+
+    n_bb = 0
+    n_sc = 0
+    ch = base
+    for i, blocks in enumerate(cfg.encoder_channels):
+        layer = f'{me}.encoder_layers.encoder_layer{i + 1}'
+        for j, out_ch in enumerate(blocks):
+            last = j == len(blocks) - 1
+            if last and i != len(cfg.encoder_channels) - 1:
+                # strided SparseConvModule: Sequential(conv, bn, relu)
+                f = f'{enc}/SparseConvBlock_{n_sc}'
+                rules.append((f'{layer}.{j}.0.weight', 'params',
+                              f'{f}/SparseConv3d_0/kernel',
+                              f'sparse3d:{ch}:{out_ch}'))
+                bn(f'{layer}.{j}.1', f'{f}/MaskedBatchNorm_0')
+                n_sc += 1
+            else:
+                f = f'{enc}/SparseBasicBlock_{n_bb}'
+                rules.append((f'{layer}.{j}.conv1.weight', 'params',
+                              f'{f}/SubMConv3dMapped_0/kernel',
+                              f'sparse3d:{ch}:{out_ch}'))
+                bn(f'{layer}.{j}.bn1', f'{f}/MaskedBatchNorm_0')
+                rules.append((f'{layer}.{j}.conv2.weight', 'params',
+                              f'{f}/SubMConv3dMapped_1/kernel',
+                              f'sparse3d:{out_ch}:{out_ch}'))
+                bn(f'{layer}.{j}.bn2', f'{f}/MaskedBatchNorm_1')
+                n_bb += 1
+            ch = out_ch
+    # conv_out: kernel (3, 1, 1) stride (2, 1, 1)
+    rules.append((f'{me}.conv_out.0.weight', 'params',
+                  f'{enc}/SparseConvBlock_{n_sc}/SparseConv3d_0/kernel',
+                  f'sparse3d:{ch}:{cfg.encoder_out_channels}'))
+    bn(f'{me}.conv_out.1',
+       f'{enc}/SparseConvBlock_{n_sc}/MaskedBatchNorm_0')
+
+    # ---- SECOND backbone ------------------------------------------------
+    cm = 0
+    for s, num in enumerate(cfg.backbone_layers):
+        for j in range(num + 1):          # stride conv + num subsequent
+            t = f'pts_backbone.blocks.{s}.{3 * j}'
+            f = f'SECOND_0/ConvModule2d_{cm}'
+            rules.append((f'{t}.weight', 'params',
+                          f'{f}/Conv_0/kernel', 'conv2d'))
+            bn(f'pts_backbone.blocks.{s}.{3 * j + 1}',
+               f'{f}/BatchNorm2d_0/BatchNorm_0')
+            cm += 1
+
+    # ---- SECONDFPN ------------------------------------------------------
+    n_conv = n_dec = 0
+    for i, stride in enumerate(cfg.neck_strides):
+        t = f'pts_neck.deblocks.{i}'
+        if stride > 1:
+            rules.append((f'{t}.0.weight', 'params',
+                          f'SECONDFPN_0/ConvTranspose_{n_dec}/kernel',
+                          'deconv2d'))
+            n_dec += 1
+        else:
+            rules.append((f'{t}.0.weight', 'params',
+                          f'SECONDFPN_0/Conv_{n_conv}/kernel', 'conv2d'))
+            n_conv += 1
+        bn(f'{t}.1', f'SECONDFPN_0/BatchNorm2d_{i}/BatchNorm_0')
+
+    # ---- CenterHead -----------------------------------------------------
+    hd = 'CenterHead_0'
+    bh = 'pts_bbox_head'
+    rules.append((f'{bh}.shared_conv.conv.weight', 'params',
+                  f'{hd}/ConvModule2d_0/Conv_0/kernel', 'conv2d'))
+    rules.append((f'{bh}.shared_conv.conv.bias', 'params',
+                  f'{hd}/ConvModule2d_0/Conv_0/bias', 'copy'))
+    bn(f'{bh}.shared_conv.bn', f'{hd}/ConvModule2d_0/BatchNorm2d_0'
+                               '/BatchNorm_0')
+    branches = ['reg', 'height', 'dim', 'rot']   # SeparateHead dict order
+    for t, num_cls in enumerate(cfg.tasks):
+        for b_i, name in enumerate(branches + ['heatmap']):
+            tb = f'{bh}.task_heads.{t}.{name}'
+            fb = f'{hd}/task{t}'
+            # (num_conv - 1) = 1 ConvModule then the final conv
+            rules.append((f'{tb}.0.conv.weight', 'params',
+                          f'{fb}/ConvModule2d_{b_i}/Conv_0/kernel',
+                          'conv2d'))
+            rules.append((f'{tb}.0.conv.bias', 'params',
+                          f'{fb}/ConvModule2d_{b_i}/Conv_0/bias', 'copy'))
+            bn(f'{tb}.0.bn',
+               f'{fb}/ConvModule2d_{b_i}/BatchNorm2d_0/BatchNorm_0')
+            rules.append((f'{tb}.1.weight', 'params',
+                          f'{fb}/{name}_out/kernel', 'conv2d'))
+            rules.append((f'{tb}.1.bias', 'params',
+                          f'{fb}/{name}_out/bias', 'copy'))
+    return rules
+
+
+def import_gga(state_dict, cfg):
+    """mmdet3d GGA/CenterPoint state_dict -> GGADetector flax variables.
+
+    The head branch ConvModules carry conv biases here but not in the
+    reference (bias='auto' with BN); absent torch keys for those biases
+    are tolerated and left at zero."""
+    from flax.traverse_util import unflatten_dict
+
+    flat = {'params': {}, 'batch_stats': {}}
+    used = set()
+    for tk, coll, fp, tr in gga_rules(cfg):
+        if tk not in state_dict:
+            if tk.endswith('.conv.bias'):
+                continue                   # reference convs are bias-free
+            raise KeyError(f'missing torch key: {tk}')
+        flat[coll][tuple(fp.split('/'))] = _gga_transform(
+            tr, state_dict[tk])
+        used.add(tk)
+    unused = [k for k in state_dict
+              if k not in used and 'num_batches_tracked' not in k]
+    if unused:
+        raise KeyError(f'unmapped torch keys: {unused[:8]}')
+    return {c: unflatten_dict(d) for c, d in flat.items()}
+
+
+def export_gga(variables, cfg):
+    """Inverse of import_gga (spconv2 sparse layout)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {c: {'/'.join(k): v for k, v in flatten_dict(d).items()}
+            for c, d in variables.items()}
+    out = {}
+    for tk, coll, fp, tr in gga_rules(cfg):
+        if fp not in flat[coll]:
+            continue
+        out[tk] = _gga_transform(tr, flat[coll][fp], backward=True)
+    return out
+
+
 FAMILIES = {'votenet': (import_votenet, export_votenet),
-            'regnet': (import_regnet, export_regnet)}
+            'regnet': (import_regnet, export_regnet),
+            'gga': (import_gga, export_gga)}
 
 
 def main():
@@ -349,6 +543,9 @@ def main():
         cfg = VoteNetConfig()
     elif args.family == 'regnet':
         cfg = dict(arch=args.arch, strides=(1, 2, 2, 2), in_channels=64)
+    elif args.family == 'gga':
+        from gga_tpu.models.detectors.centerpoint_gga import GGAModelConfig
+        cfg = GGAModelConfig()
     variables = FAMILIES[args.family][0](sd, cfg)
     with open(args.out, 'wb') as f:
         pickle.dump(variables, f)
