@@ -124,6 +124,73 @@ def test_regnet_imported_forward_runs():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+# --------------------------------------------------------------- H3DNet
+
+def _tiny_h3dnet():
+    from gga_tpu.models.detectors.h3dnet import H3DNet, H3DNetConfig
+    cfg = H3DNetConfig.tiny()
+    model = H3DNet(cfg)
+    pts = np.random.RandomState(0).randn(1, 256, 4).astype(np.float32)
+    valid = np.ones((1, 256), bool)
+    variables = model.init(jax.random.PRNGKey(0), pts, valid, train=False)
+    return cfg, model, variables, pts, valid
+
+
+def test_h3dnet_roundtrip_exact():
+    from model_converters.torch2flax import export_h3dnet, import_h3dnet
+
+    cfg, model, variables, *_ = _tiny_h3dnet()
+    sd = export_h3dnet(variables, cfg)
+
+    # every key follows the reference H3DNet naming convention
+    # (TwoStage3DDetector: rpn_head + roi_head.primitive_{z,xy,line};
+    # the redesigned refinement head roi_head.bbox_head is excluded)
+    for k in sd:
+        assert k.startswith(('backbone.backbone_list.',
+                             'backbone.aggregation_layers.',
+                             'rpn_head.', 'roi_head.primitive_')), k
+    # a bare ConvModule has no child index (flag_conv.conv.weight)
+    assert 'roi_head.primitive_z.flag_conv.conv.weight' in sd
+    # primitive conv_pred is a bare Sequential -> numeric children
+    assert 'roi_head.primitive_z.conv_pred.0.conv.weight' in sd
+    w_sa = sd['backbone.backbone_list.0.SA_modules.0.mlps.0'
+              '.layer0.conv.weight']
+    assert w_sa.ndim == 4 and w_sa.shape[2:] == (1, 1)
+
+    back = import_h3dnet(sd, cfg, init_variables=variables)
+    # merged over the init tree, the round trip reproduces it exactly
+    # (mapped subtree from sd, refinement head untouched from init)
+    _tree_equal({k: variables[k] for k in ('params', 'batch_stats')},
+                back)
+
+
+def test_h3dnet_imported_forward_runs():
+    from model_converters.torch2flax import export_h3dnet, import_h3dnet
+
+    cfg, model, variables, pts, valid = _tiny_h3dnet()
+    back = import_h3dnet(export_h3dnet(variables, cfg), cfg,
+                         init_variables=variables)
+    out_a = model.apply(variables, pts, valid, train=False)
+    out_b = model.apply(back, pts, valid, train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(out_a),
+                    jax.tree_util.tree_leaves(out_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_h3dnet_import_rejects_missing_keys():
+    from model_converters.torch2flax import export_h3dnet, import_h3dnet
+
+    cfg, model, variables, *_ = _tiny_h3dnet()
+    sd = export_h3dnet(variables, cfg)
+    sd.pop('rpn_head.vote_module.conv_out.weight')
+    try:
+        import_h3dnet(sd, cfg, init_variables=variables)
+    except KeyError as e:
+        assert 'conv_out' in str(e)
+    else:
+        raise AssertionError('expected KeyError on missing torch key')
+
+
 # ------------------------------------------------------------------ GGA
 
 def _tiny_gga():

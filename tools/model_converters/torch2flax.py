@@ -321,6 +321,176 @@ def export_regnet(variables, cfg):
             for tk, coll, fp, tr in rules}
 
 
+# ------------------------------------------------------------- H3DNet
+
+
+def _conv_bn_rules(torch_prefix, flax_prefix, k, child='layer{k}'):
+    """conv+bn ConvModule move set at child ``k`` (SharedMLP fc{k}/bn{k}
+    on the flax side)."""
+    ck = child.format(k=k)
+    mid = f'.{ck}' if ck else ''    # child='' = a bare ConvModule
+    out = []
+    for tsuf, coll, fsuf, tr in _CONV_BN_MOVES:
+        sub = 'fc' if fsuf == 'kernel' else 'bn'
+        out.append((f'{torch_prefix}{mid}.{tsuf}', coll,
+                    f'{flax_prefix}/{sub}{k}/{fsuf}', tr))
+    return out
+
+
+def _votehead_rules(torch_hd, flax_hd, head_cfg):
+    """VoteModule + aggregation + shared pred convs of a VoteHead
+    (vote_module.py:80, vote_head.py:86-91); the fused conv_cls/conv_reg
+    -> pred_out move is handled by the caller."""
+    rules = []
+    for k in range(len(head_cfg.vote_conv_channels)):
+        rules += _conv_bn_rules(f'{torch_hd}.vote_module.vote_conv',
+                                f'{flax_hd}/vote_mlp', k, child='{k}')
+    rules.append((f'{torch_hd}.vote_module.conv_out.weight', 'params',
+                  f'{flax_hd}/vote_out/kernel', 'conv1x1'))
+    rules.append((f'{torch_hd}.vote_module.conv_out.bias', 'params',
+                  f'{flax_hd}/vote_out/bias', 'copy'))
+    for k in range(len(head_cfg.agg_mlp)):
+        rules += _conv_bn_rules(
+            f'{torch_hd}.vote_aggregation.mlps.0',
+            f'{flax_hd}/vote_aggregation/SharedMLP_0', k)
+    for k in range(len(head_cfg.pred_conv_channels)):
+        rules += _conv_bn_rules(f'{torch_hd}.conv_pred.shared_convs',
+                                f'{flax_hd}/pred_shared', k)
+    return rules
+
+
+def h3dnet_rules(cfg):
+    """(torch_key, collection, flax_path, transform) for H3DNet
+    (MultiBackbone streams + rpn VoteHead + 3 primitive heads —
+    convert_h3dnet_checkpoints.py's post-v0.6 key layout).
+
+    The proposal REFINEMENT head (roi_head.bbox_head) is excluded: this
+    repo's H3DBboxHead is a structural redesign (fused surface+line
+    SharedMLP aggregation + residual refine_proj vs the reference's
+    per-primitive matching preds + 18-way concat ModuleList,
+    h3d_bbox_head.py:118-200), so its tensors have no 1:1 counterparts.
+    Importing a reference checkpoint initializes everything up to the
+    refinement head; the refinement head keeps its init (it is trained
+    jointly in stage 2 anyway)."""
+    rules = []
+    bb = cfg.backbone
+    for i in range(bb.num_streams):
+        t = f'backbone.backbone_list.{i}'
+        f = f'backbone/backbone{i}'
+        for j, chans in enumerate(bb.sa_channels):
+            for k in range(len(chans)):
+                rules += _conv_bn_rules(f'{t}.SA_modules.{j}.mlps.0',
+                                        f'{f}/sa{j}/SharedMLP_0', k)
+        for j, chans in enumerate(bb.fp_channels):
+            for k in range(len(chans)):
+                rules += _conv_bn_rules(f'{t}.FP_modules.{j}.mlps',
+                                        f'{f}/fp{j}/SharedMLP_0', k)
+    rules += _conv_bn_rules('backbone.aggregation_layers',
+                            'backbone/aggregation', 0)
+
+    rules += _votehead_rules('rpn_head', 'rpn_head', cfg.rpn)
+
+    for prim in cfg.primitives:
+        t = f'roi_head.primitive_{prim.mode}'
+        f = f'primitive_{prim.mode}'
+        rules += _conv_bn_rules(f'{t}.flag_conv', f'{f}/flag_conv', 0,
+                                child='')
+        rules.append((f'{t}.flag_pred.weight', 'params',
+                      f'{f}/flag_pred/kernel', 'conv1x1'))
+        rules.append((f'{t}.flag_pred.bias', 'params',
+                      f'{f}/flag_pred/bias', 'copy'))
+        for k in range(len(prim.vote_conv_channels)):
+            rules += _conv_bn_rules(f'{t}.vote_module.vote_conv',
+                                    f'{f}/vote_mlp', k, child='{k}')
+        rules.append((f'{t}.vote_module.conv_out.weight', 'params',
+                      f'{f}/vote_out/kernel', 'conv1x1'))
+        rules.append((f'{t}.vote_module.conv_out.bias', 'params',
+                      f'{f}/vote_out/bias', 'copy'))
+        for k in range(len(prim.agg_mlp)):
+            rules += _conv_bn_rules(
+                f'{t}.vote_aggregation.mlps.0',
+                f'{f}/vote_aggregation/SharedMLP_0', k)
+        for k in range(len(prim.feat_channels)):
+            rules += _conv_bn_rules(f'{t}.conv_pred', f'{f}/conv_pred',
+                                    k, child='{k}')
+        rules.append((f'{t}.conv_pred.conv_out.weight', 'params',
+                      f'{f}/pred_out/kernel', 'conv1x1'))
+        rules.append((f'{t}.conv_pred.conv_out.bias', 'params',
+                      f'{f}/pred_out/bias', 'copy'))
+    return rules
+
+
+def import_h3dnet(state_dict, cfg, init_variables=None):
+    """mmdet3d H3DNet state_dict -> flax variables.
+
+    init_variables: the model's init() tree; imported tensors are merged
+    over it (the redesigned refinement head keeps its init — see
+    h3dnet_rules). Without it, only the mapped subtree is returned."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = {'params': {}, 'batch_stats': {}}
+    if init_variables is not None:
+        for c in flat:
+            flat[c] = dict(flatten_dict(init_variables[c]))
+    used = set()
+    for tk, coll, fp, tr in h3dnet_rules(cfg):
+        if tk not in state_dict:
+            raise KeyError(f'missing torch key: {tk}')
+        flat[coll][tuple(fp.split('/'))] = _fwd_transform(
+            tr, state_dict[tk])
+        used.add(tk)
+
+    # fused rpn prediction head (same split as votenet's conv_pred)
+    sl = _votenet_pred_slices(type('C', (), {'head': cfg.rpn})())
+    wc = _fwd_transform('conv1x1',
+                        state_dict['rpn_head.conv_pred.conv_cls.weight'])
+    wr = _fwd_transform('conv1x1',
+                        state_dict['rpn_head.conv_pred.conv_reg.weight'])
+    bc = _np(state_dict['rpn_head.conv_pred.conv_cls.bias'])
+    br = _np(state_dict['rpn_head.conv_pred.conv_reg.bias'])
+    n_out = sl['n_cls'] + sl['n_reg']
+    kernel = np.zeros((wc.shape[0], n_out), wc.dtype)
+    bias = np.zeros((n_out,), bc.dtype)
+    kernel[:, sl['obj']], bias[sl['obj']] = wc[:, :2], bc[:2]
+    kernel[:, sl['sem']], bias[sl['sem']] = wc[:, 2:], bc[2:]
+    kernel[:, sl['reg']], bias[sl['reg']] = wr, br
+    flat['params'][('rpn_head', 'pred_out', 'kernel')] = kernel
+    flat['params'][('rpn_head', 'pred_out', 'bias')] = bias
+
+    unused = [k for k in state_dict
+              if k not in used and 'num_batches_tracked' not in k
+              and not k.startswith(('roi_head.bbox_head.',
+                                    'rpn_head.conv_pred.conv_'))]
+    if unused:
+        raise KeyError(f'unmapped torch keys: {unused[:8]}')
+    return {c: unflatten_dict(d) for c, d in flat.items()}
+
+
+def export_h3dnet(variables, cfg):
+    """Inverse of import_h3dnet over the mapped subtree."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {c: {'/'.join(k): v for k, v in flatten_dict(d).items()}
+            for c, d in variables.items()}
+    out = {}
+    for tk, coll, fp, tr in h3dnet_rules(cfg):
+        out[tk] = _bwd_transform(tr, flat[coll][fp])
+        if tr == 'conv1x1' and '.SA_modules.' in tk:
+            out[tk] = out[tk][..., None]     # Conv2d kernel [O, I, 1, 1]
+
+    sl = _votenet_pred_slices(type('C', (), {'head': cfg.rpn})())
+    kernel = np.asarray(flat['params']['rpn_head/pred_out/kernel'])
+    bias = np.asarray(flat['params']['rpn_head/pred_out/bias'])
+    wc = np.concatenate([kernel[:, sl['obj']], kernel[:, sl['sem']]], 1)
+    bc = np.concatenate([bias[sl['obj']], bias[sl['sem']]])
+    out['rpn_head.conv_pred.conv_cls.weight'] = wc.T[..., None]
+    out['rpn_head.conv_pred.conv_cls.bias'] = bc
+    out['rpn_head.conv_pred.conv_reg.weight'] = \
+        kernel[:, sl['reg']].T[..., None]
+    out['rpn_head.conv_pred.conv_reg.bias'] = bias[sl['reg']]
+    return out
+
+
 # --------------------------------------------------------------- GGA
 # Flagship family: HardSimpleVFE (no params) + SparseEncoder + SECOND +
 # SECONDFPN + CenterHead/CenterHead_GGA. Torch layout per the reference
@@ -516,7 +686,8 @@ def export_gga(variables, cfg):
 
 FAMILIES = {'votenet': (import_votenet, export_votenet),
             'regnet': (import_regnet, export_regnet),
-            'gga': (import_gga, export_gga)}
+            'gga': (import_gga, export_gga),
+            'h3dnet': (import_h3dnet, export_h3dnet)}
 
 
 def main():
@@ -546,7 +717,24 @@ def main():
     elif args.family == 'gga':
         from gga_tpu.models.detectors.centerpoint_gga import GGAModelConfig
         cfg = GGAModelConfig()
-    variables = FAMILIES[args.family][0](sd, cfg)
+    elif args.family == 'h3dnet':
+        from gga_tpu.models.detectors.h3dnet import H3DNetConfig
+        cfg = H3DNetConfig()
+    if args.family == 'h3dnet':
+        import jax
+
+        # conversion is pure host work; never route the init through
+        # the (slow, possibly remote) TPU backend
+        jax.config.update('jax_platforms', 'cpu')
+        from gga_tpu.models.detectors.h3dnet import H3DNet
+        # init supplies the redesigned refinement head (unmapped — see
+        # h3dnet_rules); the mapped subtree is overwritten by the import
+        init_v = H3DNet(cfg).init(
+            jax.random.PRNGKey(0), np.zeros((1, 256, 4), np.float32),
+            np.ones((1, 256), bool), train=False)
+        variables = import_h3dnet(sd, cfg, init_variables=init_v)
+    else:
+        variables = FAMILIES[args.family][0](sd, cfg)
     with open(args.out, 'wb') as f:
         pickle.dump(variables, f)
     n = sum(np.asarray(v).size for c in variables.values()
