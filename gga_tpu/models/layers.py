@@ -162,7 +162,15 @@ class SparseConv3d(nn.Module):
 
         B, N, C = feats.shape
         M = self.out_budget
-        if sp.RB_COMPACT_BWD:
+        if sp.STRIDED_PAIRMAJOR:
+            oc, ov, out_grid, bwd_d, parity = \
+                sp.downsample_rulebook_pairmajor(
+                    coords, valid, tuple(grid), self.kernel_size,
+                    self.stride, self.padding, self.out_budget)
+            of = sp.rulebook_conv_pairmajor(
+                feats.reshape(B * N, C), w, bwd_d, parity,
+                ov.reshape(B * M), self.kernel_size, self.stride)
+        elif sp.RB_COMPACT_BWD:
             oc, ov, out_grid, fm_flat, bwd_d, parity = \
                 sp.downsample_rulebook_compact(
                     coords, valid, tuple(grid), self.kernel_size,

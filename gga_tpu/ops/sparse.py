@@ -116,6 +116,39 @@ def _ranks_via_merge(table_lin, queries):
     return jnp.maximum(rank_le - 1, 0), hit, rank_le
 
 
+def _ranks_via_merge_single(table_lin, queries):
+    """``_ranks_via_merge`` for K query rows sharing ONE table: instead
+    of sorting [K, T + Q] (the table broadcast into every row), sort the
+    single [T + K*Q] stream — 14N vs 26N key-slots for the 13-offset
+    neighbor map, and the restore sort shrinks identically.
+
+    Returns (pos [K, Q] int32, hit [K, Q] bool) with the same contract
+    as ``_ranks_via_merge``'s first two results."""
+    T = table_lin.shape[0]
+    K, Q = queries.shape
+    keys = jnp.concatenate(
+        [table_lin, queries.reshape(-1).astype(table_lin.dtype)])
+    payload = jax.lax.iota(jnp.int32, T + K * Q)
+    sk, sp = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+    is_table = sp < T
+    rank = jnp.cumsum(is_table.astype(jnp.int32))
+    last_tkey = jax.lax.cummax(
+        jnp.where(is_table, sk, jnp.iinfo(sk.dtype).min))
+    hit_s = (~is_table) & (last_tkey == sk) & (rank > 0)
+    packed = rank * 2 + hit_s.astype(jnp.int32)
+    _, packed_o = jax.lax.sort((sp, packed), num_keys=1)
+    pq = packed_o[T:].reshape(K, Q)
+    return jnp.maximum(pq // 2 - 1, 0), (pq % 2).astype(bool)
+
+
+# Single-merged-sort neighbor ranks (GGA_NMAP_MERGED=1): the 13-offset
+# neighbor-map build and the compact strided build rank all their query
+# rows against ONE table, so the broadcast [K, T+Q] batched sort can be
+# a single [T + K*Q] stream sort (~1.9x fewer key-slots). A/B'd on the
+# full step before flipping the default.
+NMAP_MERGED = os.environ.get('GGA_NMAP_MERGED', '0') == '1'
+
+
 # Windowed one-hot Pallas gather for the conv row gathers (exploits the
 # sorted invariant: per offset the neighbor ranks are monotone, so each
 # output block's hits live in a small aligned window — see
@@ -217,6 +250,8 @@ def _neighbor_pos_hit(st: SparseTensor, query_coords, query_valid,
     # invalid table rows (lin == big) can't be hit by in-bounds queries
     if NMAP_HASH:
         pos, hit = _ranks_via_buckets(lin_in, big, lin_t)
+    elif NMAP_MERGED:
+        pos, hit = _ranks_via_merge_single(lin_in, lin_t)
     else:
         pos, hit, _ = _ranks_via_merge(lin_in, lin_t)
     hit = hit & in_bounds & query_valid[None, :]
@@ -522,7 +557,10 @@ def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
         (tgt >= 0) & (tgt < jnp.asarray([nz, ny, nx], jnp.int32)),
         axis=-1)
     lin_t = (tgt[..., 0] * (ny * nx) + tgt[..., 1] * nx + tgt[..., 2])
-    pos_h, hit_h, _ = _ranks_via_merge(lin_in, lin_t)       # [H, N]
+    if NMAP_MERGED:
+        pos_h, hit_h = _ranks_via_merge_single(lin_in, lin_t)  # [H, N]
+    else:
+        pos_h, hit_h, _ = _ranks_via_merge(lin_in, lin_t)      # [H, N]
     hit_h = hit_h & in_bounds & st.valid[None, :]
 
     N = st.coords.shape[0]
@@ -757,7 +795,8 @@ def _ds_prep(grid, kernel_size, stride, padding, n):
     return ksz, stride_a, pad_a, out_grid, ds, np.int32(big), K
 
 
-def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K):
+def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K,
+              carry_d=False):
     """Per-scene (input, output-candidate) pair stream of a strided conv,
     sorted by output linear id: enumerates the <= D feasible candidates
     per input, sorts the D*N pairs, and derives the dedupe stream.
@@ -766,7 +805,11 @@ def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K):
     pay [D*N] = input_row * K + offset_id, newv [D*N] first-pair-of-output
     flags, slot [D*N] output rank per pair, pair_ok [D*N],
     lin [D, N] PRE-sort candidate out-lin ids (``big`` where
-    infeasible) for rank-by-merge consumers)."""
+    infeasible) for rank-by-merge consumers). With ``carry_d`` the sort
+    carries the candidate index as a second payload and a trailing
+    d_s [D*N] (candidate index per sorted pair) is appended — consumers
+    that scatter into [D, N] layouts (compact bwd_d, pair-major conv)
+    need it and recomputing it post-sort would cost a row gather."""
     oz, oy, ox = out_grid
     cp = coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
     base_o = cp // jnp.asarray(stride_a, jnp.int32)          # [N, 3]
@@ -784,12 +827,20 @@ def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K):
     payload = i_idx * K + k_id
     lin = (o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2])
     lin = jnp.where(ok, lin, big)
-    keys, pay = jax.lax.sort((lin.reshape(-1), payload.reshape(-1)),
-                             num_keys=1)
+    if carry_d:
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, k_id.shape, 0)
+        keys, pay, d_s = jax.lax.sort(
+            (lin.reshape(-1), payload.reshape(-1), d_iota.reshape(-1)),
+            num_keys=1)
+    else:
+        keys, pay = jax.lax.sort((lin.reshape(-1), payload.reshape(-1)),
+                                 num_keys=1)
     prev = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
     pair_ok = keys < big
     newv = (keys != prev) & pair_ok
     slot = jnp.cumsum(newv.astype(jnp.int32)) - 1            # per pair
+    if carry_d:
+        return keys, pay, newv, slot, pair_ok, lin, d_s
     return keys, pay, newv, slot, pair_ok, lin
 
 
@@ -913,6 +964,23 @@ def downsample_rulebook_batched(coords, valid, grid, kernel_size, stride,
 # GGA_RB_COMPACT_BWD=0 restores the dense backward map.
 RB_COMPACT_BWD = os.environ.get('GGA_RB_COMPACT_BWD', '1') == '1'
 
+# How the compact bwd_d map is built: 'merge' ranks every candidate lin
+# id against the reconstructed output table (two [D, M+N] sorts per
+# scene, vmapped); 'scatter' carries the candidate index d through the
+# pair sort and scatters each pair's output slot directly into the
+# [D, B*N] map (one D*B*N-update collision-free scatter). Exact-equal
+# outputs; A/B'd in tools/microbench_strided_variants.py.
+RB_RANKS = os.environ.get('GGA_RB_RANKS', 'merge')
+
+# Pair-major strided conv (GGA_STRIDED_PAIRMAJOR=1): skips BOTH the
+# [K, B*M] fwd-map scatter in the build and the 27*M-row forward gather
+# in the conv — the forward becomes a parity-class einsum on the input
+# rows plus ONE D*B*N-row scatter-add into the outputs (the link count
+# D*N is 3.4x smaller than K*M at k3s2 with saturated budgets). Whether
+# the TPU row scatter-add beats the row gather it replaces is measured,
+# not assumed (tools/microbench_strided_variants.py).
+STRIDED_PAIRMAJOR = os.environ.get('GGA_STRIDED_PAIRMAJOR', '0') == '1'
+
 
 def parity_k_table(kernel_size, stride):
     """Static [P, D] table of kernel-offset ids per (input parity class,
@@ -958,9 +1026,16 @@ def downsample_rulebook_compact(coords, valid, grid, kernel_size, stride,
     M = out_budget
     ksz, stride_a, pad_a, out_grid, ds, big, K = _ds_prep(
         grid, kernel_size, stride, padding, N)
-    keys, pay, newv, slot, pair_ok, lin_dn = jax.vmap(
-        lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid, ds,
-                               big, K))(coords, valid)
+    carry_d = RB_RANKS == 'scatter'
+    if carry_d:
+        keys, pay, newv, slot, pair_ok, lin_dn, d_s = jax.vmap(
+            lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid,
+                                   ds, big, K, carry_d=True))(
+                                       coords, valid)
+    else:
+        keys, pay, newv, slot, pair_ok, lin_dn = jax.vmap(
+            lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid,
+                                   ds, big, K))(coords, valid)
     if BUDGET_PRIORITY == 'dist':
         keep = jax.vmap(lambda k, nv: _budget_keep(
             k, nv, big, out_grid, M))(keys, newv)
@@ -989,20 +1064,38 @@ def downsample_rulebook_compact(coords, valid, grid, kernel_size, stride,
     out_coords = jnp.where(out_valid[:, None], oc, -1).reshape(B, M, 3)
     out_valid = out_valid.reshape(B, M)
 
-    # compact bwd: rank every candidate's lin id in the output table
-    oz, oy, ox = out_grid
-    out_lin = jnp.where(
-        out_valid,
-        (out_coords[..., 0] * (oy * ox) + out_coords[..., 1] * ox
-         + out_coords[..., 2]), big)                      # [B, M] ascending
+    D = ds.shape[0]
+    if carry_d:
+        # compact bwd via ONE collision-free scatter: each sorted pair
+        # already knows its output slot; carry its candidate index d
+        # through the sort and write b*M + slot at (d, b*N + i).
+        bidx = jnp.where(slot_ok, d_s * (B * N) + b_ix * N + i_arr,
+                         D * B * N).reshape(-1)
+        bwd_d = jnp.full((D * B * N + 1,), -1, jnp.int32).at[bidx].set(
+            (b_ix * M + slot).reshape(-1))[:D * B * N].reshape(D, B * N)
+    else:
+        # compact bwd: rank every candidate's lin id in the output table
+        oz, oy, ox = out_grid
+        out_lin = jnp.where(
+            out_valid,
+            (out_coords[..., 0] * (oy * ox) + out_coords[..., 1] * ox
+             + out_coords[..., 2]), big)                  # [B, M] ascending
 
-    def ranks_one(table, queries):
-        pos, hitq, _ = _ranks_via_merge(table, queries)
-        return pos, hitq
-    pos, hitq = jax.vmap(ranks_one)(out_lin, lin_dn)      # [B, D, N]
-    boff = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0) * M
-    bwd_d = jnp.where(hitq, pos + boff, -1)
-    bwd_d = bwd_d.transpose(1, 0, 2).reshape(pos.shape[1], B * N)
+        def ranks_one(table, queries):
+            if NMAP_MERGED:
+                pos, hitq = _ranks_via_merge_single(table, queries)
+            else:
+                pos, hitq, _ = _ranks_via_merge(table, queries)
+            # an infeasible query (== big) must not match an INVALID
+            # table slot (also big) — that mapped dead pairs to the
+            # first invalid out row whenever the budget had slack
+            # (harmless numerically, dout there is zeroed, but it
+            # violates the "-1 miss" contract the scatter build keeps)
+            return pos, hitq & (queries < big)
+        pos, hitq = jax.vmap(ranks_one)(out_lin, lin_dn)  # [B, D, N]
+        boff = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0) * M
+        bwd_d = jnp.where(hitq, pos + boff, -1)
+        bwd_d = bwd_d.transpose(1, 0, 2).reshape(pos.shape[1], B * N)
 
     sa = jnp.asarray(stride_a, jnp.int32)
     cp = coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
@@ -1073,6 +1166,141 @@ def rulebook_conv_compact(features, weights, fwd_map, bwd_d, parity,
     parity_oh = jax.nn.one_hot(parity, k_of.shape[0], dtype=weights.dtype)
     return _rulebook_conv_compact(features, weights, w_eff, fwd_map,
                                   bwd_d, parity_oh, out_valid)
+
+
+def downsample_rulebook_pairmajor(coords, valid, grid, kernel_size,
+                                  stride, padding, out_budget):
+    """Strided-conv build for the PAIR-MAJOR conv: no [K, B*M] fwd-map
+    scatter and no merge-ranks — only the pair enum+sort, the budget
+    keep, the (cheap, <=M-update) output-table scatter, and the ONE
+    collision-free D*B*N-update scatter producing the compact
+    bwd_d [D, B*N] map (output row of input n's candidate d, -1 miss).
+
+    Returns:
+        (out_coords [B, M, 3], out_valid [B, M], out_grid,
+         bwd_d [D, B*N] rows into [B*M], parity [B*N] int32).
+    """
+    B, N = valid.shape
+    M = out_budget
+    ksz, stride_a, pad_a, out_grid, ds, big, K = _ds_prep(
+        grid, kernel_size, stride, padding, N)
+    keys, pay, newv, slot, pair_ok, _, d_s = jax.vmap(
+        lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid, ds,
+                               big, K, carry_d=True))(coords, valid)
+    if BUDGET_PRIORITY == 'dist':
+        keep = jax.vmap(lambda k, nv: _budget_keep(
+            k, nv, big, out_grid, M))(keys, newv)
+        newv = newv & keep
+        slot = jnp.cumsum(newv.astype(jnp.int32), axis=-1) - 1
+        pair_ok = pair_ok & keep
+    slot_ok = pair_ok & (slot >= 0) & (slot < M)
+    b_ix = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
+    i_arr = pay // K
+    D = ds.shape[0]
+
+    # output table: <=M live updates per scene (masked to first-pairs)
+    oidx = jnp.where(newv & slot_ok, b_ix * M + slot, B * M).reshape(-1)
+    out_lin = jnp.full((B * M + 1,), big, jnp.int32).at[oidx].set(
+        jnp.where(newv, keys, big).reshape(-1))[:B * M]
+    out_valid = out_lin < big
+    oz, oy, ox = out_grid
+    zz = out_lin // (oy * ox)
+    yy = (out_lin % (oy * ox)) // ox
+    xx = out_lin % ox
+    out_coords = jnp.where(
+        out_valid[:, None],
+        jnp.stack([zz, yy, xx], -1).astype(jnp.int32), -1)
+
+    bidx = jnp.where(slot_ok, d_s * (B * N) + b_ix * N + i_arr,
+                     D * B * N).reshape(-1)
+    bwd_d = jnp.full((D * B * N + 1,), -1, jnp.int32).at[bidx].set(
+        (b_ix * M + slot).reshape(-1))[:D * B * N].reshape(D, B * N)
+
+    sa = jnp.asarray(stride_a, jnp.int32)
+    cp = coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
+    pz, py, px = cp[..., 0] % sa[0], cp[..., 1] % sa[1], cp[..., 2] % sa[2]
+    parity = (pz * (int(stride_a[1]) * int(stride_a[2]))
+              + py * int(stride_a[2]) + px).reshape(B * N)
+    return (out_coords.reshape(B, M, 3), out_valid.reshape(B, M),
+            out_grid, bwd_d, parity)
+
+
+@jax.custom_vjp
+def _rulebook_conv_pairmajor(features, weights, w_fwd, w_eff, k_of_flat,
+                             bwd_d, parity_oh, out_valid):
+    """Strided conv in PAIR-MAJOR form: the forward never gathers — it
+    computes every input row's contribution to each of its D candidate
+    outputs with a parity-class einsum (w_fwd [P, D, Cin, Cout]) and
+    scatter-adds the D*B*N contribution rows into the output table
+    (f32 accumulate; identical to the gather forward up to f32 add
+    order). The backward is the compact path's: df = D dout-gathers +
+    per-parity einsum; dw in (p, d) class space scattered onto the K
+    kernel slots (exact — infeasible (p, d) products are identically
+    zero because their pairs never exist).
+    """
+    out, _ = _rpm_fwd(features, weights, w_fwd, w_eff, k_of_flat, bwd_d,
+                      parity_oh, out_valid)
+    return out
+
+
+def _rpm_fwd(features, weights, w_fwd, w_eff, k_of_flat, bwd_d,
+             parity_oh, out_valid):
+    D, R = bwd_d.shape
+    Mo = out_valid.shape[0]
+    fp = jnp.einsum('nc,np->pnc', features,
+                    parity_oh.astype(features.dtype))
+    contrib = jnp.einsum('pnc,pdco->dno', fp, w_fwd.astype(fp.dtype),
+                         preferred_element_type=jnp.float32)
+    idx = jnp.where(bwd_d >= 0, bwd_d, Mo).reshape(-1)
+    out = jnp.zeros((Mo + 1, w_fwd.shape[-1]), jnp.float32).at[idx].add(
+        contrib.reshape(D * R, -1))[:Mo]
+    out = jnp.where(out_valid[:, None], out, 0.0).astype(features.dtype)
+    return out, (features, weights, w_fwd, w_eff, k_of_flat, bwd_d,
+                 parity_oh, out_valid)
+
+
+def _rpm_bwd(res, dout):
+    (features, weights, w_fwd, w_eff, k_of_flat, bwd_d, parity_oh,
+     out_valid) = res
+    dout = jnp.where(out_valid[:, None], dout, 0.0)
+    gd = _rb_gather(dout, bwd_d)                      # [D, R, Cout]
+    # df exactly as the compact path
+    tmp = jnp.einsum('dno,pdoc->pnc', gd, w_eff.astype(gd.dtype),
+                     preferred_element_type=jnp.float32)
+    df = jnp.einsum('pnc,np->nc', tmp,
+                    parity_oh.astype(tmp.dtype),
+                    preferred_element_type=jnp.float32).astype(
+                        features.dtype)
+    # dw per (parity, candidate) class, then K-slot static scatter
+    fp = jnp.einsum('nc,np->pnc', features,
+                    parity_oh.astype(features.dtype))
+    pdk = jnp.einsum('pnc,dno->pdco', fp, gd.astype(fp.dtype),
+                     preferred_element_type=jnp.float32)
+    P, D = pdk.shape[:2]
+    K = weights.shape[0]
+    dw = jnp.zeros((K,) + pdk.shape[2:], jnp.float32).at[k_of_flat].add(
+        pdk.reshape((P * D,) + pdk.shape[2:])).astype(weights.dtype)
+    return df, dw, None, None, None, None, None, None
+
+
+_rulebook_conv_pairmajor.defvjp(_rpm_fwd, _rpm_bwd)
+
+
+def rulebook_conv_pairmajor(features, weights, bwd_d, parity, out_valid,
+                            kernel_size, stride):
+    """Public wrapper for the pair-major strided conv: builds the
+    per-(parity, candidate) forward/backward weight tables and the
+    one-hot parity matrix (consumes ``downsample_rulebook_pairmajor``'s
+    maps)."""
+    k_of, feas = parity_k_table(kernel_size, stride)
+    fm = jnp.asarray(feas, weights.dtype)[..., None, None]
+    w_fwd = weights[k_of] * fm                        # [P, D, Cin, Cout]
+    w_eff = weights[k_of].transpose(0, 1, 3, 2) * fm  # [P, D, Cout, Cin]
+    parity_oh = jax.nn.one_hot(parity, k_of.shape[0], dtype=weights.dtype)
+    return _rulebook_conv_pairmajor(
+        features, weights, w_fwd, w_eff,
+        jnp.asarray(k_of.reshape(-1), jnp.int32), bwd_d, parity_oh,
+        out_valid)
 
 
 def downsample_rulebook(st: SparseTensor, kernel_size, stride, padding,

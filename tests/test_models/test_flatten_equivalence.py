@@ -164,6 +164,68 @@ def test_compact_bwd_rulebook_matches_dense(scenes, ks, stride, pad):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('ks,stride,pad', [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+])
+def test_pairmajor_strided_matches_dense(scenes, ks, stride, pad):
+    """The pair-major strided conv (GGA_STRIDED_PAIRMAJOR path: no fwd
+    map, forward = parity einsum + one scatter-add) must produce the
+    same outputs/coords as the dense path and matching gradients; its
+    bwd_d/parity maps must be bit-identical to the compact build's, and
+    the scatter-built bwd_d (GGA_RB_RANKS=scatter) must be bit-identical
+    to the merge-ranked one."""
+    feats, coords, valid = scenes
+    bud = 90
+    B, N_, C = feats.shape
+    rng = np.random.RandomState(4)
+    K = int(np.prod(ks))
+    w = jnp.asarray(rng.randn(K, C, 5).astype(np.float32) * 0.2)
+
+    oc, ov, og, fm, bm = sp.downsample_rulebook_batched(
+        coords, valid, GRID, ks, stride, pad, bud)
+    occ, ovc, ogc, fmc, bd_m, par_m = sp.downsample_rulebook_compact(
+        coords, valid, GRID, ks, stride, pad, bud)
+    old = sp.RB_RANKS
+    try:
+        sp.RB_RANKS = 'scatter'
+        _, _, _, _, bd_s, par_s = sp.downsample_rulebook_compact(
+            coords, valid, GRID, ks, stride, pad, bud)
+    finally:
+        sp.RB_RANKS = old
+    np.testing.assert_array_equal(np.asarray(bd_m), np.asarray(bd_s))
+    np.testing.assert_array_equal(np.asarray(par_m), np.asarray(par_s))
+
+    oc3, ov3, og3, bd3, par3 = sp.downsample_rulebook_pairmajor(
+        coords, valid, GRID, ks, stride, pad, bud)
+    assert og3 == og
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(oc3))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ov3))
+    np.testing.assert_array_equal(np.asarray(bd_m), np.asarray(bd3))
+    np.testing.assert_array_equal(np.asarray(par_m), np.asarray(par3))
+
+    ff = feats.reshape(B * N_, C)
+    ovf = ov.reshape(-1)
+
+    def dense(f, ww):
+        return sp.rulebook_conv(f, ww, fm, bm, ovf)
+
+    def pm(f, ww):
+        return sp.rulebook_conv_pairmajor(f, ww, bd3, par3, ovf,
+                                          ks, stride)
+
+    np.testing.assert_allclose(np.asarray(dense(ff, w)),
+                               np.asarray(pm(ff, w)),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda f, ww: (dense(f, ww) ** 2).sum(),
+                  argnums=(0, 1))(ff, w)
+    g2 = jax.grad(lambda f, ww: (pm(f, ww) ** 2).sum(),
+                  argnums=(0, 1))(ff, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_flat_helpers_preserve_misses():
     nmap = jnp.asarray(np.array([[[0, 1], [1, 0]]] * 2))   # [B=2,K=2,N=2]
     hit = jnp.asarray(np.array([[[True, False], [True, True]]] * 2))

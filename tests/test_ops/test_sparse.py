@@ -252,3 +252,40 @@ def test_bucket_nmap_matches_sort_nmap(monkeypatch):
     np.testing.assert_array_equal(
         np.where(np.asarray(hit0), np.asarray(pos0), -1),
         np.where(np.asarray(hit1), np.asarray(pos1), -1))
+
+
+def test_merged_ranks_match_batched_merge():
+    """_ranks_via_merge_single (one [T + K*Q] stream sort) must agree
+    with the batched [K, T+Q] _ranks_via_merge on hits and hit
+    positions, including duplicate queries and out-of-table values."""
+    rng = np.random.RandomState(11)
+    for _ in range(4):
+        T = rng.randint(5, 300)
+        K, Q = rng.randint(1, 15), rng.randint(5, 400)
+        table = np.unique(rng.randint(0, 1000, T)).astype(np.int32)
+        q = rng.randint(0, 1100, (K, Q)).astype(np.int32)
+        q.reshape(-1)[rng.choice(q.size, q.size // 3)] = \
+            rng.choice(table, q.size // 3)
+        p1, h1, _ = sp._ranks_via_merge(jnp.asarray(table),
+                                        jnp.asarray(q))
+        p2, h2 = sp._ranks_via_merge_single(jnp.asarray(table),
+                                            jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(h1), np.asarray(p1), -1),
+            np.where(np.asarray(h2), np.asarray(p2), -1))
+
+
+def test_merged_nmap_matches_batched_nmap(monkeypatch):
+    """build_neighbor_map under GGA_NMAP_MERGED must equal the batched
+    merge resolution bit for bit."""
+    monkeypatch.setattr(sp, 'NMAP_MERGED', False)
+    rng = np.random.RandomState(5)
+    st = _random_sparse(rng, (6, 12, 32), 90, 128, 2)
+    pos0, hit0 = sp.build_neighbor_map(st)
+    monkeypatch.setattr(sp, 'NMAP_MERGED', True)
+    pos1, hit1 = sp.build_neighbor_map(st)
+    np.testing.assert_array_equal(np.asarray(hit0), np.asarray(hit1))
+    np.testing.assert_array_equal(
+        np.where(np.asarray(hit0), np.asarray(pos0), -1),
+        np.where(np.asarray(hit1), np.asarray(pos1), -1))
