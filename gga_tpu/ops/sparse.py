@@ -148,6 +148,13 @@ def _ranks_via_merge_single(table_lin, queries):
 # full step before flipping the default.
 NMAP_MERGED = os.environ.get('GGA_NMAP_MERGED', '0') == '1'
 
+# GGA_NMAP_FULL=1 resolves all K offsets directly instead of the
+# 13-resolve + mirror-scatter symmetric build: the mirror scatter is
+# K//2 * N updates (~1.7M per stage at batch 8, update-rate bound)
+# while the extra sorted offsets ride the cheap merged stream sort —
+# which side wins is measured, not assumed.
+NMAP_FULL = os.environ.get('GGA_NMAP_FULL', '0') == '1'
+
 
 # Windowed one-hot Pallas gather for the conv row gathers (exploits the
 # sorted invariant: per offset the neighbor ranks are monotone, so each
@@ -538,7 +545,7 @@ def build_neighbor_map(st: SparseTensor, kernel_size=(3, 3, 3)):
     k = _triple(kernel_size)
     pad = tuple((x - 1) // 2 for x in k)
     K = int(np.prod(k))
-    if K % 2 == 0 or NMAP_HASH:
+    if K % 2 == 0 or NMAP_HASH or NMAP_FULL:
         # bucket-table lookups cost one gather per (offset, row) — the
         # half-resolve + mirror-scatter trick only pays when sorts
         # dominate, so resolve all offsets directly

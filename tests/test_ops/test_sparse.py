@@ -289,3 +289,20 @@ def test_merged_nmap_matches_batched_nmap(monkeypatch):
     np.testing.assert_array_equal(
         np.where(np.asarray(hit0), np.asarray(pos0), -1),
         np.where(np.asarray(hit1), np.asarray(pos1), -1))
+
+
+def test_full_merged_nmap_matches_symmetric(monkeypatch):
+    """GGA_NMAP_FULL (direct 27-offset resolve) + GGA_NMAP_MERGED must
+    equal the symmetric 13-resolve + mirror build bit for bit."""
+    monkeypatch.setattr(sp, 'NMAP_MERGED', False)
+    monkeypatch.setattr(sp, 'NMAP_FULL', False)
+    rng = np.random.RandomState(7)
+    st = _random_sparse(rng, (6, 12, 32), 90, 128, 2)
+    pos0, hit0 = sp.build_neighbor_map(st)
+    monkeypatch.setattr(sp, 'NMAP_MERGED', True)
+    monkeypatch.setattr(sp, 'NMAP_FULL', True)
+    pos1, hit1 = sp.build_neighbor_map(st)
+    np.testing.assert_array_equal(np.asarray(hit0), np.asarray(hit1))
+    np.testing.assert_array_equal(
+        np.where(np.asarray(hit0), np.asarray(pos0), -1),
+        np.where(np.asarray(hit1), np.asarray(pos1), -1))

@@ -129,9 +129,9 @@ def main():
             coords = jnp.asarray(coords)
             validj = jnp.ones((B, n), bool)
 
-            def nmap_build(c, mode):
-                old = S.NMAP_MERGED
-                S.NMAP_MERGED = mode
+            def nmap_build(c, merged, full):
+                old = (S.NMAP_MERGED, S.NMAP_FULL)
+                S.NMAP_MERGED, S.NMAP_FULL = merged, full
                 try:
                     def one(cc, vv):
                         st = S.SparseTensor(
@@ -140,14 +140,17 @@ def main():
                         return S.build_neighbor_map(st)
                     return jax.vmap(one)(c, validj)
                 finally:
-                    S.NMAP_MERGED = old
+                    S.NMAP_MERGED, S.NMAP_FULL = old
 
-            t_b = scan_time(lambda _, c: nmap_build(c, False),
+            t_b = scan_time(lambda _, c: nmap_build(c, False, False),
                             coords, jnp.zeros(()))
-            t_m = scan_time(lambda _, c: nmap_build(c, True),
+            t_m = scan_time(lambda _, c: nmap_build(c, True, False),
+                            coords, jnp.zeros(()))
+            t_f = scan_time(lambda _, c: nmap_build(c, True, True),
                             coords, jnp.zeros(()))
             print(f'nmap N={n} grid={grid}: batched {t_b * 1e3:7.3f} | '
-                  f'merged {t_m * 1e3:7.3f} ms')
+                  f'merged {t_m * 1e3:7.3f} | merged-full '
+                  f'{t_f * 1e3:7.3f} ms')
         return
 
     STAGES = [  # (N_in, out_budget, in_grid, Cin, Cout)
