@@ -10,8 +10,18 @@ static shapes, fully vectorized, differentiable-free target generation.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Render heatmap targets with a dynamic chunk count
+# (render_heatmap_dyn): bit-identical, skips the all-padding chunks of
+# the static scan (at the reference's max_objs=500 with ~24 live
+# objects that is 15 of 16 chunks). Default ON since round 5 (part of
+# the bundle measured 14.33 -> 14.71 scenes/s integrated);
+# GGA_HM_DYN=0 restores the static scan.
+HM_DYN = os.environ.get('GGA_HM_DYN', '1') == '1'
 
 
 def gaussian_radius(det_size, min_overlap=0.5):
@@ -90,6 +100,70 @@ def render_heatmap(centers_int, radii, valid, hw, chunk=32):
     init = jnp.zeros((H, W), jnp.float32)
     out, _ = jax.lax.scan(step, init, (cx, cy, rr, vv))
     return out
+
+
+def render_heatmap_dyn(centers_int, radii, valid, hw, chunk=32):
+    """``render_heatmap`` with a DYNAMIC chunk count.
+
+    The static scan renders ceil(K/chunk) dense [chunk, H, W] gaussian
+    blocks regardless of how many objects are real — at the reference's
+    max_objs=500 padding with ~20-50 live objects that is ~16x wasted
+    exp/max work per (scene, class). Here the live objects are first
+    compacted to a prefix (one [K]-key sort; max-combine is
+    order-independent, so the result is bit-identical) and a while_loop
+    renders only ceil(n_live/chunk) chunks. Under vmap the loop runs to
+    the max trip count across the batch (lanes past their own count
+    keep the old carry), so a batch with <=32 live objects per scene
+    renders ONE chunk instead of 16.
+    """
+    H, W = hw
+    K = centers_int.shape[0]
+    # compact live objects to the front (stable; payload order inside
+    # the live prefix is irrelevant to a max-reduction)
+    order = jnp.argsort(~valid)                   # False (live) first
+    cx0 = centers_int[order, 0]
+    cy0 = centers_int[order, 1]
+    rr0 = radii[order]
+    vv0 = valid[order]
+    n_live = valid.sum()
+
+    pad = (-K) % chunk
+    nck = (K + pad) // chunk
+    cx = jnp.pad(cx0, (0, pad)).reshape(nck, chunk)
+    cy = jnp.pad(cy0, (0, pad)).reshape(nck, chunk)
+    rr = jnp.pad(rr0, (0, pad)).reshape(nck, chunk)
+    vv = jnp.pad(vv0, (0, pad)).reshape(nck, chunk)
+    needed = (n_live + chunk - 1) // chunk
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def body(carry):
+        i, hm = carry
+        ccx = jax.lax.dynamic_index_in_dim(cx, i, keepdims=False)
+        ccy = jax.lax.dynamic_index_in_dim(cy, i, keepdims=False)
+        crr = jax.lax.dynamic_index_in_dim(rr, i, keepdims=False)
+        cvv = jax.lax.dynamic_index_in_dim(vv, i, keepdims=False)
+        dx = xs[None] - ccx[:, None, None]
+        dy = ys[None] - ccy[:, None, None]
+        sigma = (2.0 * crr[:, None, None].astype(jnp.float32) + 1.0) / 6.0
+        g = jnp.exp(-(dx.astype(jnp.float32) ** 2
+                      + dy.astype(jnp.float32) ** 2)
+                    / (2.0 * sigma ** 2 + 1e-12))
+        inside = ((jnp.abs(dx) <= crr[:, None, None])
+                  & (jnp.abs(dy) <= crr[:, None, None])
+                  & cvv[:, None, None])
+        g = jnp.where(inside, g, 0.0)
+        return i + 1, jnp.maximum(hm, g.max(axis=0))
+
+    def cond(carry):
+        return carry[0] < needed
+
+    _, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((H, W), jnp.float32)))
+    # targets are constants; while_loop has no reverse rule, so cut the
+    # (semantically zero-value) tangent path here
+    return jax.lax.stop_gradient(out)
 
 
 def render_class_heatmaps(centers_int, radii, cls_ids, valid, num_classes,

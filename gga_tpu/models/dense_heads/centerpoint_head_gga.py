@@ -150,10 +150,13 @@ def build_targets(cfg: GGAHeadConfig, rng, labels, valid,
 
         centers = jnp.stack([jnp.clip(cxi, 0, W - 1),
                              jnp.clip(cyi, 0, H - 1)], -1)
+        from ...core import gaussian as _g
+        render = (_g.render_heatmap_dyn if _g.HM_DYN
+                  else render_heatmap)
         hms = []
         for c in range(ncls):
             hms.append(jax.vmap(
-                lambda cc, rr, mm: render_heatmap(cc, rr, mm, (H, W))
+                lambda cc, rr, mm: render(cc, rr, mm, (H, W))
             )(centers, radius, mask & (cls_in_task == c)))
         heatmap = jnp.stack(hms, axis=-1)  # [B, H, W, C_t]
 

@@ -141,19 +141,22 @@ def _ranks_via_merge_single(table_lin, queries):
     return jnp.maximum(pq // 2 - 1, 0), (pq % 2).astype(bool)
 
 
-# Single-merged-sort neighbor ranks (GGA_NMAP_MERGED=1): the 13-offset
-# neighbor-map build and the compact strided build rank all their query
-# rows against ONE table, so the broadcast [K, T+Q] batched sort can be
-# a single [T + K*Q] stream sort (~1.9x fewer key-slots). A/B'd on the
-# full step before flipping the default.
-NMAP_MERGED = os.environ.get('GGA_NMAP_MERGED', '0') == '1'
+# Single-merged-sort neighbor ranks: the 13-offset neighbor-map build
+# and the compact strided build rank all their query rows against ONE
+# table, so the broadcast [K, T+Q] batched sort can be a single
+# [T + K*Q] stream sort. Default ON since round 5 (part of the
+# scatter-ranks + merged-full-nmap + dyn-heatmap bundle measured
+# 14.33 -> 14.71 scenes/s integrated); GGA_NMAP_MERGED=0 restores the
+# batched sort.
+NMAP_MERGED = os.environ.get('GGA_NMAP_MERGED', '1') == '1'
 
-# GGA_NMAP_FULL=1 resolves all K offsets directly instead of the
-# 13-resolve + mirror-scatter symmetric build: the mirror scatter is
-# K//2 * N updates (~1.7M per stage at batch 8, update-rate bound)
-# while the extra sorted offsets ride the cheap merged stream sort —
-# which side wins is measured, not assumed.
-NMAP_FULL = os.environ.get('GGA_NMAP_FULL', '0') == '1'
+# Resolve all K offsets directly instead of the 13-resolve +
+# mirror-scatter symmetric build: the mirror scatter is K//2 * N
+# updates (~1.7M per stage at batch 8, update-rate bound) while the
+# extra sorted offsets ride the cheap merged stream sort (per-stage
+# builds 14.3/14.4/15.2/11.6 -> 12.6/12.2/6.9/9.8 ms). Default ON
+# since round 5; GGA_NMAP_FULL=0 restores the symmetric build.
+NMAP_FULL = os.environ.get('GGA_NMAP_FULL', '1') == '1'
 
 
 # Windowed one-hot Pallas gather for the conv row gathers (exploits the
@@ -812,11 +815,13 @@ def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K,
     pay [D*N] = input_row * K + offset_id, newv [D*N] first-pair-of-output
     flags, slot [D*N] output rank per pair, pair_ok [D*N],
     lin [D, N] PRE-sort candidate out-lin ids (``big`` where
-    infeasible) for rank-by-merge consumers). With ``carry_d`` the sort
-    carries the candidate index as a second payload and a trailing
-    d_s [D*N] (candidate index per sorted pair) is appended — consumers
-    that scatter into [D, N] layouts (compact bwd_d, pair-major conv)
-    need it and recomputing it post-sort would cost a row gather."""
+    infeasible) for rank-by-merge consumers). With ``carry_d`` the
+    payload additionally carries the candidate index d PACKED into the
+    low bits (pay2 = (i*K + k)*D + d — a 3-operand variadic sort loses
+    the fast 2-operand key/payload lowering) and a trailing d_s [D*N]
+    (candidate index per sorted pair) is appended — consumers that
+    scatter into [D, N] layouts (compact bwd_d, pair-major conv) need
+    it and recomputing it post-sort would cost a row gather."""
     oz, oy, ox = out_grid
     cp = coords.astype(jnp.int32) + jnp.asarray(pad_a, jnp.int32)
     base_o = cp // jnp.asarray(stride_a, jnp.int32)          # [N, 3]
@@ -835,10 +840,14 @@ def _ds_pairs(coords, valid, ksz, stride_a, pad_a, out_grid, ds, big, K,
     lin = (o[..., 0] * (oy * ox) + o[..., 1] * ox + o[..., 2])
     lin = jnp.where(ok, lin, big)
     if carry_d:
+        D = ds.shape[0]
+        assert np.int64(k_id.shape[1]) * K * D < 2 ** 31 - 1
         d_iota = jax.lax.broadcasted_iota(jnp.int32, k_id.shape, 0)
-        keys, pay, d_s = jax.lax.sort(
-            (lin.reshape(-1), payload.reshape(-1), d_iota.reshape(-1)),
-            num_keys=1)
+        pay2 = payload * D + d_iota
+        keys, pay2 = jax.lax.sort(
+            (lin.reshape(-1), pay2.reshape(-1)), num_keys=1)
+        pay = pay2 // D
+        d_s = pay2 % D
     else:
         keys, pay = jax.lax.sort((lin.reshape(-1), payload.reshape(-1)),
                                  num_keys=1)
@@ -976,8 +985,20 @@ RB_COMPACT_BWD = os.environ.get('GGA_RB_COMPACT_BWD', '1') == '1'
 # scene, vmapped); 'scatter' carries the candidate index d through the
 # pair sort and scatters each pair's output slot directly into the
 # [D, B*N] map (one D*B*N-update collision-free scatter). Exact-equal
-# outputs; A/B'd in tools/microbench_strided_variants.py.
-RB_RANKS = os.environ.get('GGA_RB_RANKS', 'merge')
+# outputs; scatter measured 1.3-1.6 ms/stage cheaper on chip
+# (tools/microbench_strided_variants.py). 'auto' (default) resolves to
+# scatter on TPU and merge elsewhere: under a forced-CPU GSPMD mesh the
+# full train step with the scatter build never finishes compiling
+# (>9 min vs 2m40 with merge — isolated to this one flag; the build
+# alone compiles fine both plain and mesh-sharded, so it is a sharding-
+# propagation pathology of the surrounding step graph, not the op).
+RB_RANKS = os.environ.get('GGA_RB_RANKS', 'auto')
+
+
+def _rb_ranks_mode():
+    if RB_RANKS != 'auto':
+        return RB_RANKS
+    return 'scatter' if jax.default_backend() == 'tpu' else 'merge'
 
 # Pair-major strided conv (GGA_STRIDED_PAIRMAJOR=1): skips BOTH the
 # [K, B*M] fwd-map scatter in the build and the 27*M-row forward gather
@@ -1033,7 +1054,7 @@ def downsample_rulebook_compact(coords, valid, grid, kernel_size, stride,
     M = out_budget
     ksz, stride_a, pad_a, out_grid, ds, big, K = _ds_prep(
         grid, kernel_size, stride, padding, N)
-    carry_d = RB_RANKS == 'scatter'
+    carry_d = _rb_ranks_mode() == 'scatter'
     if carry_d:
         keys, pay, newv, slot, pair_ok, lin_dn, d_s = jax.vmap(
             lambda c, v: _ds_pairs(c, v, ksz, stride_a, pad_a, out_grid,

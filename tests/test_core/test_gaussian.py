@@ -64,3 +64,35 @@ def test_clip_sigmoid_bounds():
     x = jnp.array([-100.0, 0.0, 100.0])
     out = np.asarray(clip_sigmoid(x))
     assert out[0] == 1e-4 and out[2] == 1 - 1e-4
+
+
+def test_render_heatmap_dyn_matches_static():
+    """render_heatmap_dyn (while_loop over live chunks after prefix
+    compaction) must be bit-identical to the static-scan render,
+    including all-invalid and scattered-validity inputs, and must not
+    break reverse-mode differentiation of a loss consuming it."""
+    import jax
+
+    from gga_tpu.core.gaussian import render_heatmap, render_heatmap_dyn
+
+    rng = np.random.RandomState(0)
+    K, H, W = 96, 40, 36
+    for live in (0, 1, 20, 96):
+        centers = np.stack([rng.randint(0, W, K),
+                            rng.randint(0, H, K)], -1).astype(np.int32)
+        radii = rng.randint(1, 7, K).astype(np.int32)
+        valid = np.zeros(K, bool)
+        pick = rng.choice(K, live, replace=False)
+        valid[pick] = True
+        a = render_heatmap(jnp.asarray(centers), jnp.asarray(radii),
+                           jnp.asarray(valid), (H, W))
+        b = render_heatmap_dyn(jnp.asarray(centers), jnp.asarray(radii),
+                               jnp.asarray(valid), (H, W))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(x):
+        hm = render_heatmap_dyn(jnp.asarray(centers), jnp.asarray(radii),
+                                jnp.asarray(valid), (H, W))
+        return jnp.sum((x - hm) ** 2)
+    g = jax.grad(loss)(jnp.ones((H, W)))
+    assert np.isfinite(np.asarray(g)).all()

@@ -234,3 +234,36 @@ def test_yaw_prior_anchor_loss():
     _, logs_off = gga.loss(CFG, preds_with_yaw(box[6] + 0.5), targets[:3],
                            ibp, ibp_valid)
     assert 'task2.loss_yaw_prior' not in logs_off
+
+
+def test_build_targets_hm_dyn_matches_static(monkeypatch):
+    """build_targets under GGA_HM_DYN (dynamic-chunk heatmap render)
+    must produce bit-identical targets to the static-scan render."""
+    from gga_tpu.core import gaussian as G
+
+    rng = np.random.RandomState(2)
+    B, M = 2, CFG.max_objs
+    labels = np.full((B, M), -1, np.int32)
+    labels[:, :5] = rng.randint(0, 3, (B, 5))
+    valid = np.zeros((B, M), bool)
+    valid[:, :5] = True
+    pseudo = np.zeros((B, M, 7), np.float32)
+    pseudo[:, :5, 0] = rng.uniform(5, 60, (B, 5))
+    pseudo[:, :5, 1] = rng.uniform(-30, 30, (B, 5))
+    pseudo[:, :5, 2] = -1.0
+    pseudo[:, :5, 3:6] = rng.uniform(0.5, 4.0, (B, 5, 3))
+    boxes_img = np.zeros((B, M, 4), np.float32)
+    bdry = np.zeros((B, M, 4), bool)
+    l2i = np.broadcast_to(L2I, (B, M, 4, 4)).copy()
+    args = (jnp.asarray(labels), jnp.asarray(valid), jnp.asarray(pseudo),
+            jnp.asarray(boxes_img), jnp.asarray(bdry), jnp.asarray(l2i))
+
+    monkeypatch.setattr(G, 'HM_DYN', False)
+    t0 = gga.build_targets(CFG, jax.random.PRNGKey(0), *args)
+    monkeypatch.setattr(G, 'HM_DYN', True)
+    t1 = gga.build_targets(CFG, jax.random.PRNGKey(0), *args)
+    for a, b in zip(t0, t1):
+        np.testing.assert_array_equal(np.asarray(a['heatmap']),
+                                      np.asarray(b['heatmap']))
+        np.testing.assert_array_equal(np.asarray(a['ind']),
+                                      np.asarray(b['ind']))

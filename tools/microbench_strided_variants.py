@@ -57,7 +57,11 @@ def main():
     B = args.b
 
     def scan_time(fn, xs_all, carry0):
-        """Slope between 1 and --k scan steps over DISTINCT xs."""
+        """Slope between 1 and --k scan steps over DISTINCT xs. Each
+        timed rep fetches a host scalar — block_until_ready alone can
+        return early for pure-dataflow programs on this relay
+        (CLAUDE.md round-5 timing trap)."""
+        import numpy as _np
         times = {}
         for k in (1, args.k):
             @jax.jit
@@ -68,13 +72,12 @@ def main():
                     fb = sum(l.astype(jnp.float32).sum() for l in leaves)
                     return c + (fb * 1e-12).astype(c.dtype), 0
                 c, _ = jax.lax.scan(body, c0, xs)
-                return c
+                return jnp.sum(c).astype(jnp.float32)
             xs = jax.tree_util.tree_map(lambda a: a[:k], xs_all)
-            jax.block_until_ready(run(xs, carry0))
+            _np.asarray(run(xs, carry0))
             t0 = time.perf_counter()
             for _ in range(3):
-                out = run(xs, carry0)
-            jax.block_until_ready(out)
+                _np.asarray(run(xs, carry0))
             times[k] = (time.perf_counter() - t0) / 3
         return max((times[args.k] - times[1]) / (args.k - 1), 1e-9)
 
