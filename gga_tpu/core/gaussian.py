@@ -169,9 +169,10 @@ def render_heatmap_dyn(centers_int, radii, valid, hw, chunk=32):
 def render_class_heatmaps(centers_int, radii, cls_ids, valid, num_classes,
                           hw, chunk=32):
     """[num_classes, H, W] heatmap; object k renders onto cls_ids[k]."""
+    render = render_heatmap_dyn if HM_DYN else render_heatmap
     maps = []
     for c in range(num_classes):
-        maps.append(render_heatmap(
+        maps.append(render(
             centers_int, radii, valid & (cls_ids == c), hw, chunk=chunk))
     return jnp.stack(maps)
 
