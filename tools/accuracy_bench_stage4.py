@@ -237,10 +237,25 @@ def main():
                          "gga_pdg.py:160-166); 'flat' is the round-4 "
                          "recipe whose strict AP swung 34-58 between "
                          "adjacent evals")
-    ap.add_argument('--ema', type=float, default=0.999,
-                    help='EMA decay for the eval weights (0 disables); '
-                         'evals and the final score use the EMA params')
+    ap.add_argument('--ema', type=float, default=0.0,
+                    help='EMA decay for the eval weights (0 disables, '
+                         'the default). MEASURED BROKEN for PGD at '
+                         '0.999: the weight-space average scores 0.0 '
+                         'on every metric (even 2D) at every eval '
+                         'point while the raw params score 50-90 — '
+                         'the fast-drifting monocular depth trajectory '
+                         'makes parameter averaging destructive, and '
+                         'with <5%% init residue left by 3k steps '
+                         'bias correction cannot explain it. Kept as '
+                         'an opt-in diagnostic; evals also report '
+                         '*_raw alongside it when enabled.')
     ap.add_argument('--eval-every', type=int, default=0)
+    ap.add_argument('--eval-reps', type=int, default=1,
+                    help='repeat the FINAL eval this many times on the '
+                         'same frozen params — flakiness diagnostic: '
+                         'the round-5 step-decay run scored 58.6 at 7k '
+                         'and 33.8 at 8k with the net frozen at lr '
+                         '2e-5, so per-eval noise is suspected')
     ap.add_argument('--out', default=None)
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
@@ -326,9 +341,15 @@ def main():
         sched = optax.join_schedules(
             [optax.linear_schedule(args.lr / 3, args.lr, warmup),
              optax.constant_schedule(args.lr)], [warmup])
+    # weight decay BEFORE sgd: decay joins the gradient and is scaled
+    # by momentum+lr like pytorch SGD(weight_decay=...) — appending it
+    # AFTER sgd applied an lr-INDEPENDENT 1e-4/step shrink that eroded
+    # the net once the step schedule dropped lr to 2e-5 (6.3% global
+    # weight shrink over the last 650 steps; the 8k-step eval collapsed
+    # 58.6 -> 33.8 strict with the loss flat)
     tx = optax.chain(optax.clip_by_global_norm(35.0),
-                     optax.sgd(sched, momentum=0.9),
-                     optax.add_decayed_weights(1e-4))
+                     optax.add_decayed_weights(1e-4),
+                     optax.sgd(sched, momentum=0.9))
     opt_state = tx.init(params)
 
     fsz = [(item0['image'].shape[0] // s, item0['image'].shape[1] // s)
@@ -405,6 +426,12 @@ def main():
                     {'params': ema_params if ema_decay else params,
                      'batch_stats': bstats},
                     ds_dev, n_scenes, img_shape, infos)
+                if ema_decay:
+                    raw = evaluate_pgd(
+                        model, cfg,
+                        {'params': params, 'batch_stats': bstats},
+                        ds_dev, n_scenes, img_shape, infos)
+                    mid.update({f'{k}_raw': v for k, v in raw.items()})
                 curve.append(dict(step=step, **mid))
                 print(f'  [curve] step {step}: {json.dumps(mid)}')
             if step >= args.steps:
@@ -413,10 +440,21 @@ def main():
     print(f'  trained {step} steps in {time.time() - t0:.0f}s')
 
     print('[4/4] scoring TRAINED PGD vs synthetic GT...')
+    for rep in range(max(args.eval_reps - 1, 0)):
+        r = evaluate_pgd(model, cfg,
+                         {'params': ema_params if ema_decay else params,
+                          'batch_stats': bstats},
+                         ds_dev, n_scenes, img_shape, infos)
+        print(f'  [eval-rep {rep}]: {json.dumps(r)}')
     after = evaluate_pgd(model, cfg,
                          {'params': ema_params if ema_decay else params,
                           'batch_stats': bstats},
                          ds_dev, n_scenes, img_shape, infos)
+    if ema_decay:
+        raw = evaluate_pgd(model, cfg,
+                           {'params': params, 'batch_stats': bstats},
+                           ds_dev, n_scenes, img_shape, infos)
+        after.update({f'{k}_raw': v for k, v in raw.items()})
     print('  trained:', json.dumps(after))
     curve.append(dict(step=step, **after))
 
