@@ -186,6 +186,19 @@ def main():
                         B, max_rate=500.0)  # marginal step time
         scenes_per_sec = B / dt
 
+    # GGA_BENCH_SKIP_INFER=1: train-metric-only run (halves the wall
+    # time of train-side A/Bs, which pay a fresh ~10-15 min relay
+    # compile per program variant)
+    if bool(int(os.environ.get('GGA_BENCH_SKIP_INFER', '0'))):
+        if not skip_train:
+            print(json.dumps({
+                'metric': 'gga_weak_train_scenes_per_sec_per_chip',
+                'value': round(scenes_per_sec, 2),
+                'unit': 'scenes/s',
+                'vs_baseline': round(scenes_per_sec / 5.0, 2),
+            }))
+        return
+
     # --- second metric: stage-3 pseudo-label-gen throughput ---------
     # BASELINE.json's north-star metric is train + pseudo-gen; this is
     # the inference half: full-size forward + CenterPoint decode +

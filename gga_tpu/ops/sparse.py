@@ -236,7 +236,15 @@ def _ranks_via_buckets(table_lin, big, queries):
     below = jax.lax.shift_left(one, bit) - one
     pos = row[..., 1] + jax.lax.population_count(m & below)
     n = table_lin.shape[0]
-    return jnp.clip(pos, 0, max(n - 1, 0)), hit
+    pos = jnp.clip(pos, 0, max(n - 1, 0))
+    # Materialize (pos, hit) ONCE so XLA can't refuse the lookup into
+    # every consumer conv's gather fusion. Tested round 5: the barrier
+    # does NOT rescue the path — full-step A/B with it reads 12.91 vs
+    # 14.71 scenes/s (round 3 without it: 12.42 vs 13.76), so the
+    # integrated loss is intrinsic to the bucket lookup, not a
+    # recompute-fusion artifact. NMAP_HASH stays opt-in/off.
+    pos, hit = jax.lax.optimization_barrier((pos, hit))
+    return pos, hit
 
 
 def _neighbor_pos_hit(st: SparseTensor, query_coords, query_valid,
