@@ -193,6 +193,12 @@ def _gather_t(rows, nmap, hit):
 NMAP_HASH = os.environ.get('GGA_NMAP_HASH', '0') == '1'
 _BUCKET_BITS = 5  # 32 cells per bucket
 
+# Split the center offset out of subm conv gathers (its map rows are
+# the identity, so the center term is a plain GEMM): saves 1/27 of the
+# gather rows in fwd and in the bwd dout gather. Env-gated for the
+# full-step A/B (integration flips are the norm on this engine).
+SUBM_CENTER_SPLIT = os.environ.get('GGA_SUBM_CENTER_SPLIT', '0') == '1'
+
 
 def _bucket_table(table_lin, big):
     """(mask [NB] int32, start [NB] int32) occupancy table of the sorted
@@ -625,6 +631,25 @@ def _subm_fwd(features, valid, nmap, hit, weights):
         out = jnp.einsum('kcn,kcd->nd', g_t,
                          weights.astype(features.dtype),
                          preferred_element_type=jnp.float32)
+    elif SUBM_CENTER_SPLIT and nmap.shape[0] % 2 == 1:
+        # the center offset's map rows are the identity (nmap[c] = iota
+        # where hit — build_neighbor_map resolves a row's own lin id to
+        # its own rank; flatten_nmap's per-scene offsets preserve it),
+        # so its gather is a free GEMM: drop 1 of K gathered row-sets
+        c = nmap.shape[0] // 2
+        nc = jnp.concatenate([nmap[:c], nmap[c + 1:]])
+        hc = jnp.concatenate([hit[:c], hit[c + 1:]])
+        wc = jnp.concatenate([weights[:c], weights[c + 1:]])
+        gathered = jnp.where(hc[..., None], features[nc],
+                             jnp.zeros((), features.dtype))
+        fc = jnp.where(hit[c][:, None], features,
+                       jnp.zeros((), features.dtype))
+        out = (jnp.einsum('knc,kcd->nd', gathered,
+                          wc.astype(features.dtype),
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum('nc,cd->nd', fc,
+                            weights[c].astype(features.dtype),
+                            preferred_element_type=jnp.float32))
     else:
         gathered = jnp.where(hit[..., None], features[nmap],
                              jnp.zeros((), features.dtype))  # [K, N, Cin]
@@ -653,6 +678,35 @@ def _subm_bwd(res, dout):
                         preferred_element_type=jnp.float32).astype(
                             features.dtype)
         df = jnp.where(valid[:, None], df, 0.0)
+        return df, None, None, None, dw
+    if SUBM_CENTER_SPLIT and nmap.shape[0] % 2 == 1:
+        # mirror of the center offset is the center itself, so the
+        # center terms of dW and dF are plain GEMMs; the 26-offset
+        # re-gathers CSE with the forward's (same split form)
+        c = nmap.shape[0] // 2
+        nc = jnp.concatenate([nmap[:c], nmap[c + 1:]])
+        hc = jnp.concatenate([hit[:c], hit[c + 1:]])
+        wc = jnp.concatenate([weights[:c], weights[c + 1:]])
+        gathered_f = jnp.where(hc[..., None], features[nc],
+                               jnp.zeros((), features.dtype))
+        fc = jnp.where(hit[c][:, None], features,
+                       jnp.zeros((), features.dtype))
+        dw26 = jnp.einsum('knc,nd->kcd', gathered_f, dout,
+                          preferred_element_type=jnp.float32)
+        dw_c = jnp.einsum('nc,nd->cd', fc, dout,
+                          preferred_element_type=jnp.float32)
+        dw = jnp.concatenate([dw26[:c], dw_c[None], dw26[c:]],
+                             axis=0).astype(weights.dtype)
+        gathered_d = jnp.where(hc[..., None], dout[nc],
+                               jnp.zeros((), dout.dtype))
+        w26_t = jnp.flip(wc, axis=0).transpose(0, 2, 1)
+        df = (jnp.einsum('knd,kdc->nc', gathered_d,
+                         w26_t.astype(dout.dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum('nd,dc->nc', dout,
+                           weights[c].transpose().astype(dout.dtype),
+                           preferred_element_type=jnp.float32))
+        df = jnp.where(valid[:, None], df, 0.0).astype(features.dtype)
         return df, None, None, None, dw
     # dW[k] = gathered_f[k]^T @ dout. The features re-gather is FREE:
     # XLA CSEs it with the forward's identical gather in the same
